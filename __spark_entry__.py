@@ -1,38 +1,142 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Engine under test: ``search_spark`` — a PySpark-native BM25 inverted-index
+build + query engine (SURVEY.md).  Float scores cross the comparison
+boundary as integer micro-units on both sides (see search_spark/oracle_sql.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_spark import oracle_sql as osql
+from search_spark.analyzer import tokenize, tokens_col
+from search_spark.corpus import transcripts_from_documents
+from search_spark.operators.build import build_df_index, score_query_df
+from search_spark.operators.docids import assign_doc_ids
+
+# Fixed query strings over the documents vocabulary (see /root/testdata).
+Q_HEAD = "the fast scan"
+Q_MIX = "merge window customer batch"
+Q_RARE = "vector stream spark"
+
+_TOPK = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str, query_text: str, k: int = _TOPK,
+               docs: DataFrame | None = None) -> DataFrame:
+    """Top-k BM25: (doc_id, rank, score_micro), rank over rounded score."""
+    idx = build_df_index(docs if docs is not None else _docs(spark, sf_dir), assign_ids=False)
+    scored = score_query_df(idx, tokenize(query_text))
+    micro = scored.select(
+        "doc_id", F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro")
+    )
+    topk = micro.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "rank", "score_micro"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over sf0.001 documents via the DF-native engine."""
+    return _bm25_topk(spark, "/root/testdata/sf0.001", Q_MIX)
+
+
+# ---------------------------------------------------------------------------
+# queries / oracle_sql registry
+# ---------------------------------------------------------------------------
+
+def _q_bm25_head(spark, sf_dir):
+    return _bm25_topk(spark, sf_dir, Q_HEAD)
+
+
+def _q_bm25_mix(spark, sf_dir):
+    return _bm25_topk(spark, sf_dir, Q_MIX)
+
+
+def _q_bm25_rare(spark, sf_dir):
+    return _bm25_topk(spark, sf_dir, Q_RARE)
+
+
+def _q_bm25_transcripts(spark, sf_dir):
+    """Full pipeline over the transcript-shaped view: derive transcripts,
+    re-assign stable doc_ids via the two-phase operator, index, query."""
+    tr = transcripts_from_documents(spark, sf_dir)
+    docs = assign_doc_ids(tr).select("doc_id", "text")
+    return _bm25_topk(spark, sf_dir, Q_MIX, docs=docs)
+
+
+def _q_doc_ids_stable(spark, sf_dir):
+    tr = transcripts_from_documents(spark, sf_dir)
+    return assign_doc_ids(tr).select("conv_id", "turn_idx", "doc_id")
+
+
+def _q_dictionary(spark, sf_dir):
+    idx = build_df_index(_docs(spark, sf_dir), assign_ids=False)
+    return (
+        idx.dictionary.orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+        .select("term", "df", F.col("cf").cast("bigint").alias("cf"))
+    )
+
+
+def _q_corpus_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn("toks", tokens_col("text"))
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .count()
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("dl") * 1e6).cast("bigint").alias("avgdl_micro"),
+    )
+    vocab = tf.select("term").distinct().count()
+    postings = tf.count()
+    return stats.withColumn("vocab", F.lit(vocab)).withColumn("postings", F.lit(postings))
+
+
+def _q_doclens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", F.size(tokens_col("text")).cast("int").alias("dl"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk_head": _q_bm25_head,
+        "bm25_topk_mix": _q_bm25_mix,
+        "bm25_topk_rare": _q_bm25_rare,
+        "bm25_topk_transcripts": _q_bm25_transcripts,
+        "doc_ids_stable": _q_doc_ids_stable,
+        "index_dictionary": _q_dictionary,
+        "corpus_stats": _q_corpus_stats,
+        "doclens": _q_doclens,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk_head": osql.bm25_topk_sql(Q_HEAD, _TOPK),
+        "bm25_topk_mix": osql.bm25_topk_sql(Q_MIX, _TOPK),
+        "bm25_topk_rare": osql.bm25_topk_sql(Q_RARE, _TOPK),
+        "bm25_topk_transcripts": osql.bm25_topk_sql(Q_MIX, _TOPK, docs_sql=osql.transcripts_docs_sql()),
+        "doc_ids_stable": osql.doc_ids_stable_sql(),
+        "index_dictionary": osql.dictionary_sql(100),
+        "corpus_stats": osql.corpus_stats_sql(),
+        "doclens": osql.doclens_sql(),
+    }

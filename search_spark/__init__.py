@@ -1,0 +1,30 @@
+"""search_spark — a PySpark-native full-text (BM25) indexing and query engine.
+
+A from-scratch re-expression of the capabilities of ``kelindar/search``
+(reference, read-only at /root/reference) on Spark's execution model:
+
+- the reference is an exact brute-force vector top-k library
+  (/root/reference/index.go:53-86); this engine preserves its *contracts* —
+  exact (not approximate) top-k, bounded min-heap semantics with
+  strictly-greater replacement (/root/reference/index.go:74-79), descending
+  final order (/root/reference/index.go:83-85), build-time precomputation
+  (normalize-at-insert, /root/reference/index.go:44-50), and versioned
+  compressed persistence (/root/reference/index_codec.go:16-43) — while the
+  *mechanics* are Spark-native: DataFrame plans optimized by Catalyst,
+  Arrow-vectorized UDFs, posting lists with delta+varint compression and
+  block-max skip metadata, and a doc-range-bucketed layout so query-time
+  scoring needs no shuffle.
+
+Layout:
+    analyzer.py   frozen tokenizer spec (shared by engine / oracle / SQL)
+    corpus.py     deterministic synthetic transcript corpus (seeded)
+    oracle.py     pure numpy BM25 oracle — the rank-identity ground truth
+    codec.py      delta+varint posting-block codec + block-max metadata
+    operators/    docid assignment, index build, merge, WAND scorer, dedup...
+    sources/      parquet/Iceberg-backed index store with snapshots+lineage
+    functions/    BM25 score expressions, text analysis, similarity
+"""
+
+__version__ = "0.1.0"
+
+FORMAT_VERSION = 1  # analogue of the codec version byte, /root/reference/index_codec.go:20-22

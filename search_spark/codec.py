@@ -1,0 +1,141 @@
+"""Posting-block codec: delta + LEB128 varint, with block-max skip metadata.
+
+The reference persists its index as a versioned, flate-compressed byte
+stream (/root/reference/index_codec.go:16-43, :98-114) — generic byte-level
+compression over row records.  Posting lists admit a much better,
+*posting-aware* encoding (the standard IR result): sorted docIDs become
+small gaps; gaps and term frequencies become 1-2 byte varints.  Parquet
+page compression (zstd/snappy) still applies on top, like the reference's
+flate wraps its records.
+
+All encode/decode paths are vectorized numpy — no per-value Python in the
+hot loop (the "SIMD of the Python world"; the reference's equivalent concern
+is its AVX kernels, /root/reference/internal/cosine/simd/simd.go:33-44).
+
+Block layout (BLOCK_SIZE = 128 postings, mirroring standard block-max
+index designs; SURVEY.md §7 M2):
+
+    first_doc     int64   absolute docID of the first posting
+    n_docs        int32   postings in this block
+    doc_ids_delta binary  varint stream: [doc0 - first_doc(=0), gaps...]
+    tfs           binary  varint stream of term frequencies
+    block_max_tf  int32
+    block_max_score double  exact max of the BM25 term score over the block
+                            (computed at build with true dl/avgdl/idf →
+                            a *safe and tight* WAND upper bound)
+
+Round-trip identity is property-tested in tests/test_codec.py, the analogue
+of the reference's codec round-trip test (/root/reference/index_test.go:44-76).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+FORMAT_VERSION = 1
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.shape[0]
+    if n == 0:
+        return b""
+    buf = np.zeros((n, 10), dtype=np.uint8)
+    tmp = v.copy()
+    lengths = np.zeros(n, dtype=np.int64)
+    for bpos in range(10):
+        byte = (tmp & np.uint64(0x7F)).astype(np.uint8)
+        tmp >>= np.uint64(7)
+        more = tmp > 0
+        buf[:, bpos] = byte | (more.astype(np.uint8) << 7)
+        newly_done = (lengths == 0) & ~more
+        lengths[newly_done] = bpos + 1
+        if not more.any():
+            break
+    mask = np.arange(10) < lengths[:, None]
+    return buf[mask].tobytes()
+
+
+def varint_decode(data: bytes) -> np.ndarray:
+    """Decode an LEB128 stream back to uint64 (vectorized)."""
+    if not data:
+        return np.zeros(0, dtype=np.uint64)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ends = np.flatnonzero((arr & 0x80) == 0)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    runlen = ends - starts + 1
+    pos = np.arange(arr.shape[0], dtype=np.uint64) - np.repeat(starts, runlen).astype(np.uint64)
+    contrib = (arr & 0x7F).astype(np.uint64) << (np.uint64(7) * pos)
+    return np.add.reduceat(contrib, starts)
+
+
+def encode_doc_ids(doc_ids: np.ndarray, first_doc: int) -> bytes:
+    """Delta+varint encode a sorted docID run relative to ``first_doc``."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    deltas = np.empty_like(d)
+    deltas[0] = d[0] - first_doc
+    deltas[1:] = np.diff(d)
+    return varint_encode(deltas)
+
+
+def decode_doc_ids(data: bytes, first_doc: int, n: int) -> np.ndarray:
+    deltas = varint_decode(data)[:n].astype(np.int64)
+    return first_doc + np.cumsum(deltas)
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    return varint_encode(np.asarray(tfs, dtype=np.int64))
+
+
+def decode_tfs(data: bytes, n: int) -> np.ndarray:
+    return varint_decode(data)[:n].astype(np.int64)
+
+
+def make_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    idf_t: float,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Split one term's sorted posting run into encoded block rows.
+
+    ``dls`` are per-posting document lengths, needed to compute the exact
+    per-block BM25 upper bound.  Inputs must be sorted by doc_id ascending.
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    dl = np.asarray(dls, dtype=np.float64)
+    scores = idf_t * t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl))
+    blocks = []
+    for off in range(0, d.shape[0], block_size):
+        sl = slice(off, off + block_size)
+        bd, bt, bs = d[sl], t[sl], scores[sl]
+        first = int(bd[0])
+        blocks.append(
+            {
+                "first_doc": first,
+                "last_doc": int(bd[-1]),
+                "n_docs": int(bd.shape[0]),
+                "doc_ids_delta": encode_doc_ids(bd, first),
+                "tfs": encode_tfs(bt),
+                "block_max_tf": int(bt.max()),
+                "block_max_score": float(bs.max()),
+            }
+        )
+    return blocks
+
+
+def decode_block(row) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, tfs) for a block row (any mapping with the block fields)."""
+    n = int(row["n_docs"])
+    doc_ids = decode_doc_ids(row["doc_ids_delta"], int(row["first_doc"]), n)
+    tfs = decode_tfs(row["tfs"], n)
+    return doc_ids, tfs

@@ -1,0 +1,118 @@
+"""ANSI-SQL (DuckDB) oracle generators for the driver's correctness gate.
+
+Every query exposed in ``__spark_entry__.queries()`` gets an equivalent SQL
+string built here, over the driver's pre-registered parquet views.  The SQL
+reuses the exact frozen analyzer fragment (analyzer.sql_tokens) and BM25
+formula fragments (functions.bm25.sql_*) so engine and oracle share one
+spec.
+
+Float-output convention: scores are emitted as integer micro-units
+(``CAST(round(score * 1e6) AS BIGINT)``) on BOTH sides — the driver
+compares order-insensitive value hashes, and double rounding paths differ
+across engines at the last ulp, so integers are the only safe wire format.
+Ranks are computed over the *rounded* score (+ doc_id tiebreak) so they are
+deterministic across engines too.
+"""
+
+from __future__ import annotations
+
+from .analyzer import sql_tokens, tokenize
+from .functions.bm25 import sql_idf, sql_term_score
+
+DOCS_SQL = "SELECT doc_id, text FROM documents"
+
+
+def _values_terms(terms: list[str]) -> str:
+    rows = ", ".join(f"('{t}')" for t in terms)
+    return f"(VALUES {rows}) AS qt(term)"
+
+
+def bm25_corpus_ctes(docs_sql: str = DOCS_SQL) -> str:
+    """Shared CTE bodies: tok, dl, stats, tf, dft (named to avoid keywords)."""
+    return f"""
+  docs AS ({docs_sql}),
+  tok AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM docs),
+  dl  AS (SELECT doc_id, len(toks) AS dl FROM tok),
+  stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+  tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+    GROUP BY doc_id, term),
+  dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"""
+
+
+def bm25_topk_sql(query_text: str, k: int, docs_sql: str = DOCS_SQL) -> str:
+    """Top-k BM25 for one query string; output (doc_id, rank, score_micro)."""
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, 1 AS rank, CAST(NULL AS BIGINT) AS score_micro WHERE false"
+    idf = sql_idf("stats.n_docs", "dft.df")
+    score = sql_term_score("tf.tf", "dl.dl", "stats.avgdl", idf)
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  q AS (SELECT term FROM {_values_terms(terms)}),
+  scored AS (
+    SELECT tf.doc_id, sum({score}) AS score
+    FROM tf
+    JOIN q USING (term)
+    JOIN dft USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id),
+  rounded AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+    FROM scored)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       score_micro
+FROM rounded
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
+def dictionary_sql(limit: int = 100, docs_sql: str = DOCS_SQL) -> str:
+    """Top terms by (df DESC, term ASC): (term, df, cf)."""
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  agg AS (
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+    FROM tf GROUP BY term)
+SELECT term, df, cf FROM agg
+ORDER BY df DESC, term
+LIMIT {limit}"""
+
+
+def corpus_stats_sql(docs_sql: str = DOCS_SQL) -> str:
+    """(n_docs, total_tokens, avgdl_micro, vocab, postings)."""
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)}
+SELECT (SELECT count(*) FROM dl) AS n_docs,
+       (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS total_tokens,
+       (SELECT CAST(round(avg(dl) * 1000000) AS BIGINT) FROM dl) AS avgdl_micro,
+       (SELECT count(*) FROM dft) AS vocab,
+       (SELECT count(*) FROM tf) AS postings"""
+
+
+def doclens_sql(docs_sql: str = DOCS_SQL) -> str:
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)}
+SELECT doc_id, CAST(dl AS INT) AS dl FROM dl"""
+
+
+def transcripts_docs_sql() -> str:
+    """Transcript-shaped corpus derived from `documents`, with doc_id
+    re-assigned as the dense rank under (conv_id, turn_idx) — mirrors
+    operators.docids.assign_doc_ids."""
+    from .corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS
+
+    return f"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, text
+  FROM ({SQL_TRANSCRIPTS_FROM_DOCUMENTS})"""
+
+
+def doc_ids_stable_sql() -> str:
+    from .corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS
+
+    return f"""
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id
+FROM ({SQL_TRANSCRIPTS_FROM_DOCUMENTS})"""

@@ -1,0 +1,70 @@
+"""Codec round-trip property tests.
+
+Analogue of the reference's codec round-trip (/root/reference/index_test.go:44-76)
+and the FIXTURES.md §4 spec: decode(encode(x)) == x on seeded random sorted
+docID lists, and block-max metadata equals the true max per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from search_spark import codec
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_varint_roundtrip(seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = int(rng.integers(1, 10_000))
+    # mix of tiny and huge values to cross every byte-length boundary
+    vals = rng.integers(0, 2**62, size=n, dtype=np.int64)
+    small = rng.random(n) < 0.5
+    vals[small] = rng.integers(0, 300, size=int(small.sum()))
+    got = codec.varint_decode(codec.varint_encode(vals.astype(np.uint64)))
+    assert np.array_equal(got.astype(np.int64), vals)
+
+
+def test_varint_boundaries():
+    vals = np.array([0, 1, 127, 128, 16383, 16384, 2**32, 2**62 - 1], dtype=np.uint64)
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(vals)), vals)
+    assert codec.varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert codec.varint_decode(b"").shape == (0,)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_docid_roundtrip(seed):
+    rng = np.random.Generator(np.random.PCG64([1, seed]))
+    n = int(rng.integers(1, 5_000))
+    gaps = rng.geometric(0.01, size=n)
+    doc_ids = np.cumsum(gaps).astype(np.int64) + int(rng.integers(0, 2**40))
+    first = int(doc_ids[0])
+    enc = codec.encode_doc_ids(doc_ids, first)
+    assert np.array_equal(codec.decode_doc_ids(enc, first, n), doc_ids)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_make_blocks(seed):
+    rng = np.random.Generator(np.random.PCG64([2, seed]))
+    n = int(rng.integers(1, 1000))
+    doc_ids = np.cumsum(rng.integers(1, 50, size=n)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=n).astype(np.int64)
+    dls = rng.integers(5, 100, size=n).astype(np.int64)
+    idf_t, avgdl = 1.7, 33.3
+    blocks = codec.make_blocks(doc_ids, tfs, dls, idf_t, avgdl)
+
+    assert sum(b["n_docs"] for b in blocks) == n
+    off = 0
+    k1, b_ = 1.2, 0.75
+    true_scores = idf_t * tfs * (k1 + 1) / (tfs + k1 * (1 - b_ + b_ * dls / avgdl))
+    for blk in blocks:
+        d, t = codec.decode_block(blk)
+        m = blk["n_docs"]
+        assert np.array_equal(d, doc_ids[off : off + m])
+        assert np.array_equal(t, tfs[off : off + m])
+        assert blk["block_max_tf"] == tfs[off : off + m].max()
+        assert blk["block_max_score"] == pytest.approx(true_scores[off : off + m].max(), abs=0)
+        assert blk["first_doc"] == doc_ids[off]
+        assert blk["last_doc"] == doc_ids[off + m - 1]
+        assert m <= codec.BLOCK_SIZE
+        off += m
