@@ -116,6 +116,59 @@ def _q_doclens(spark, sf_dir):
     return docs.select("doc_id", F.size(tokens_col("text")).cast("int").alias("dl"))
 
 
+_READER_CACHE: dict[str, object] = {}
+
+
+def _wand_reader(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the persisted block-max index over the
+    transcript-shaped corpus and return an IndexReader.  doc_id assignment
+    over the derived transcripts reproduces documents.doc_id (fixed-width
+    conv_id keeps lexicographic == numeric order), so results compare
+    against the same SQL oracle as the DF-native path."""
+    from search_spark.operators.indexer import build_index
+    from search_spark.operators.wand import IndexReader
+    from search_spark.sources.index_store import IndexStore
+
+    if sf_dir not in _READER_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="search_spark_idx_")
+        store = IndexStore(root, doc_bucket_size=2048, term_buckets=8)
+        tr = transcripts_from_documents(spark, sf_dir)
+        build_index(spark, tr, store, n_units=2)
+        _READER_CACHE[sf_dir] = IndexReader(spark, store)
+    return _READER_CACHE[sf_dir]
+
+
+def _wand_topk(spark: SparkSession, sf_dir: str, query_text: str, k: int = _TOPK) -> DataFrame:
+    reader = _wand_reader(spark, sf_dir)
+    res = reader.batch_search([("q", query_text)], k)
+    return res.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
+def _q_wand_head(spark, sf_dir):
+    return _wand_topk(spark, sf_dir, Q_HEAD)
+
+
+def _q_wand_mix(spark, sf_dir):
+    return _wand_topk(spark, sf_dir, Q_MIX)
+
+
+def _q_wand_batch(spark, sf_dir):
+    reader = _wand_reader(spark, sf_dir)
+    res = reader.batch_search([("h", Q_HEAD), ("m", Q_MIX), ("r", Q_RARE)], _TOPK)
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_head": _q_bm25_head,
@@ -126,6 +179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_dictionary": _q_dictionary,
         "corpus_stats": _q_corpus_stats,
         "doclens": _q_doclens,
+        "bm25_wand_head": _q_wand_head,
+        "bm25_wand_mix": _q_wand_mix,
+        "bm25_wand_batch": _q_wand_batch,
     }
 
 
@@ -139,4 +195,9 @@ def oracle_sql() -> dict[str, str]:
         "index_dictionary": osql.dictionary_sql(100),
         "corpus_stats": osql.corpus_stats_sql(),
         "doclens": osql.doclens_sql(),
+        "bm25_wand_head": osql.bm25_topk_sql(Q_HEAD, _TOPK),
+        "bm25_wand_mix": osql.bm25_topk_sql(Q_MIX, _TOPK),
+        "bm25_wand_batch": osql.bm25_batch_sql(
+            [("h", Q_HEAD), ("m", Q_MIX), ("r", Q_RARE)], _TOPK
+        ),
     }

@@ -99,7 +99,6 @@ def make_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    idf_t: float,
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
@@ -107,17 +106,28 @@ def make_blocks(
 ) -> list[dict]:
     """Split one term's sorted posting run into encoded block rows.
 
-    ``dls`` are per-posting document lengths, needed to compute the exact
-    per-block BM25 upper bound.  Inputs must be sorted by doc_id ascending.
+    Per-posting document lengths (``dls``) are *stored in the block* so
+    query-time scoring needs no doclens join — the same inline-the-payload
+    pattern as the reference's entry rows (/root/reference/index.go:15-18).
+
+    ``block_max_raw`` is the idf-independent part of the BM25 upper bound:
+        max over the block of  tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    idf is a positive per-term constant, so ``idf * block_max_raw`` is an
+    exact, tight block-max score — and the build never has to join the
+    dictionary (idf isn't known until global df is, and at 10^12-doc scale
+    the dictionary is not broadcastable).  Query time multiplies by the idf
+    of each query term (a handful of scalars).
+
+    Inputs must be sorted by doc_id ascending.
     """
     d = np.asarray(doc_ids, dtype=np.int64)
     t = np.asarray(tfs, dtype=np.int64)
-    dl = np.asarray(dls, dtype=np.float64)
-    scores = idf_t * t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl))
+    dl = np.asarray(dls, dtype=np.int64)
+    raw = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl.astype(np.float64) / avgdl))
     blocks = []
     for off in range(0, d.shape[0], block_size):
         sl = slice(off, off + block_size)
-        bd, bt, bs = d[sl], t[sl], scores[sl]
+        bd, bt, bdl, braw = d[sl], t[sl], dl[sl], raw[sl]
         first = int(bd[0])
         blocks.append(
             {
@@ -126,16 +136,19 @@ def make_blocks(
                 "n_docs": int(bd.shape[0]),
                 "doc_ids_delta": encode_doc_ids(bd, first),
                 "tfs": encode_tfs(bt),
+                "dls": varint_encode(bdl.astype(np.uint64)),
                 "block_max_tf": int(bt.max()),
-                "block_max_score": float(bs.max()),
+                "block_max_raw": float(braw.max()),
+                "cf_block": int(bt.sum()),
             }
         )
     return blocks
 
 
-def decode_block(row) -> tuple[np.ndarray, np.ndarray]:
-    """(doc_ids, tfs) for a block row (any mapping with the block fields)."""
+def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, tfs, dls) for a block row (mapping with the block fields)."""
     n = int(row["n_docs"])
     doc_ids = decode_doc_ids(row["doc_ids_delta"], int(row["first_doc"]), n)
     tfs = decode_tfs(row["tfs"], n)
-    return doc_ids, tfs
+    dls = varint_decode(row["dls"])[:n].astype(np.int64)
+    return doc_ids, tfs, dls

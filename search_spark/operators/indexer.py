@@ -1,0 +1,235 @@
+"""Resumable distributed index build (SURVEY.md §3.2, §7.1 M2-M4).
+
+The reference's build is a sequential in-memory loop: embed → normalize →
+append → serialize (/root/reference/index.go:44-50, index_codec.go:16-43).
+The distributed re-expression is three phases, each a checkpointed Spark
+job, so a killed build resumes where it stopped (north_rule "resumable from
+per-partition checkpoints with lineage"):
+
+P0  stage    assign stable doc_ids (operators/docids.py), tokenize for dl,
+             write the docs table partitioned into work units; record
+             global stats (n_docs, avgdl) — the build-time precomputation
+             that makes queries cheap (the reference's normalize-at-insert
+             pattern, /root/reference/index.go:88-101).
+P1  segments per pending unit: retokenize → explode → partial-agg tf →
+             ONE shuffle keyed on (term, doc_bucket) → applyInPandas
+             encodes sorted posting runs into delta+varint blocks.
+             ``doc_bucket = doc_id // doc_bucket_size`` is the *salt*: a
+             Zipf-head term ("the") is split across buckets, so no reducer
+             ever sees more than one bucket's postings for one term — and
+             because the salt is a doc-range, bucket runs concatenate in
+             global docID order with no re-sort (SURVEY.md §7.4).
+             Checkpoint row per unit after its files land.
+P2  finalize dictionary (df/cf/idf per term) + per-unit metrics (terms,
+             postings, bytes, skew factor — north_star) computed purely
+             from block *metadata* (no payload decode), snapshot commit
+             with lineage.
+
+Scale notes (the 10^12-turn story):
+- The only full-data shuffles are the tf groupBy and the (term, doc_bucket)
+  encode — both keyed on bounded groups (≤ doc_bucket_size postings).
+- The dictionary is never broadcast or collected: block upper bounds are
+  stored idf-free (codec.make_blocks) and idf applies at query time.
+- Unit count bounds resume granularity; a unit is one Spark job whose
+  output commits atomically via the checkpoint ledger.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import codec
+from ..analyzer import tokens_col
+from ..functions.bm25 import idf_col
+from ..sources.index_store import IndexStore
+from .docids import assign_doc_ids
+
+POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_bucket", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("doc_ids_delta", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+        T.StructField("block_max_tf", T.IntegerType(), False),
+        T.StructField("block_max_raw", T.DoubleType(), False),
+        T.StructField("cf_block", T.LongType(), False),
+    ]
+)
+
+
+def stage_docs(spark: SparkSession, transcripts: DataFrame, store: IndexStore, n_units: int) -> dict:
+    """P0: stable docIDs + dl, written per unit.  Returns staged stats."""
+    docs = assign_doc_ids(transcripts)
+    docs = docs.withColumn("dl", F.size(tokens_col("text")))
+    docs = docs.withColumn(
+        "doc_bucket", (F.col("doc_id") / store.doc_bucket_size).cast("int")
+    ).withColumn("unit", F.pmod(F.col("doc_bucket"), F.lit(n_units)).cast("int"))
+    docs.write.mode("overwrite").partitionBy("unit").parquet(store.docs_path())
+
+    staged = spark.read.parquet(store.docs_path())
+    row = staged.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("total")
+    ).collect()[0]
+    stats = {
+        "n_docs": int(row["n"]),
+        "avgdl": float(row["avgdl"]),
+        "total_tokens": int(row["total"]),
+        "doc_bucket_size": store.doc_bucket_size,
+        "term_buckets": store.term_buckets,
+        "n_units": n_units,
+    }
+    store.write_stats(stats)
+    store.mark_docs_staged(stats["n_docs"], n_units)
+    store.commit_snapshot("stage_docs", {"n_docs": stats["n_docs"], "n_units": n_units})
+    return stats
+
+
+def _encode_group(avgdl: float):
+    """applyInPandas encoder for one (term, doc_bucket) posting run."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        bucket = int(pdf["doc_bucket"].iloc[0])
+        blocks = codec.make_blocks(
+            pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["dl"].to_numpy(), avgdl
+        )
+        out = pd.DataFrame(blocks)
+        out.insert(0, "term", term)
+        out.insert(1, "doc_bucket", bucket)
+        return out
+
+    return encode
+
+
+def build_unit(spark: SparkSession, store: IndexStore, unit: int, avgdl: float) -> dict:
+    """P1 for one unit: docs → encoded posting blocks → parquet + checkpoint."""
+    t0 = time.perf_counter()
+    import os
+
+    if not os.path.exists(store.docs_path(unit)):
+        # unit holds no doc buckets at this corpus size — trivially complete
+        info = {"blocks": 0, "postings": 0, "seconds": 0.0}
+        store.mark_unit_done(unit, info)
+        return info
+    docs = spark.read.parquet(store.docs_path(unit)).select("doc_id", "doc_bucket", "text")
+    postings_flat = (
+        docs.withColumn("tokens", tokens_col("text"))
+        .withColumn("dl", F.size("tokens"))
+        .select("doc_id", "doc_bucket", "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").cast("int").alias("tf"),
+            F.first("dl").alias("dl"),
+            F.first("doc_bucket").alias("doc_bucket"),
+        )
+    )
+    encoded = postings_flat.groupBy("term", "doc_bucket").applyInPandas(
+        _encode_group(avgdl), schema=POSTING_SCHEMA
+    )
+    encoded = encoded.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")
+    )
+    encoded.write.mode("overwrite").partitionBy("term_bucket").parquet(store.postings_path(unit))
+
+    written = spark.read.parquet(store.postings_path(unit))
+    info_row = written.agg(
+        F.count("*").alias("blocks"), F.sum("n_docs").alias("postings")
+    ).collect()[0]
+    info = {
+        "blocks": int(info_row["blocks"]),
+        "postings": int(info_row["postings"] or 0),
+        "seconds": round(time.perf_counter() - t0, 3),
+    }
+    store.mark_unit_done(unit, info)
+    return info
+
+
+def finalize(spark: SparkSession, store: IndexStore) -> dict:
+    """P2: dictionary + metrics from block metadata only; snapshot commit."""
+    stats = store.stats()
+    posts = spark.read.option("basePath", store.postings_path()).parquet(store.postings_path())
+
+    dictionary = (
+        posts.groupBy("term")
+        .agg(
+            F.sum("n_docs").alias("df"),
+            F.sum("cf_block").alias("cf"),
+            F.max("block_max_tf").alias("max_tf"),
+            F.max("block_max_raw").alias("max_raw"),
+        )
+        .withColumn("idf", idf_col(F.lit(stats["n_docs"]), F.col("df")))
+    )
+    dictionary.write.mode("overwrite").parquet(store.dictionary_path)
+
+    payload_bytes = (
+        F.octet_length("doc_ids_delta") + F.octet_length("tfs") + F.octet_length("dls")
+    )
+    per_term_unit = posts.groupBy("unit", "term").agg(
+        F.sum("n_docs").alias("tp"), F.sum(payload_bytes).alias("tb")
+    )
+    metrics = (
+        per_term_unit.groupBy("unit")
+        .agg(
+            F.count("*").alias("terms"),
+            F.sum("tp").alias("postings"),
+            F.sum("tb").alias("bytes"),
+            (F.max("tp") / F.avg("tp")).alias("skew_factor"),
+        )
+        .withColumnRenamed("unit", "partition_id")
+        .withColumn("build_ts", F.current_timestamp())
+    )
+    m = store.manifest()
+    lineage = f"snapshot_parent={m['current_snapshot']}"
+    metrics = metrics.withColumn("lineage", F.lit(lineage))
+    metrics.write.mode("overwrite").parquet(store.metrics_path)
+
+    vocab = dictionary.count()
+    total_postings = int(
+        posts.agg(F.sum("n_docs")).collect()[0][0] or 0
+    )
+    stats.update({"vocab": vocab, "n_postings": total_postings})
+    store.write_stats(stats)
+    sid = store.commit_snapshot("finalize", {"vocab": vocab, "n_postings": total_postings})
+    return {"vocab": vocab, "n_postings": total_postings, "snapshot_id": sid}
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    store: IndexStore,
+    n_units: int = 1,
+    fail_after_units: int | None = None,
+) -> dict:
+    """Full resumable build.  Re-running after an interruption (or with
+    ``fail_after_units`` set, the test hook that simulates one) skips every
+    completed phase/unit via the checkpoint ledger and produces an index
+    byte-identical in content to an uninterrupted build (tests/test_resume.py).
+    """
+    store.init()
+    cp = store.checkpoints()
+    if cp.get("docs_staged"):
+        stats = store.stats()
+        n_units = cp.get("n_units", n_units)
+    else:
+        stats = stage_docs(spark, transcripts, store, n_units)
+
+    done = store.completed_units()
+    pending = [u for u in range(n_units) if u not in done]
+    built = 0
+    for u in pending:
+        if fail_after_units is not None and built >= fail_after_units:
+            raise RuntimeError(f"simulated failure after {built} units")
+        build_unit(spark, store, u, stats["avgdl"])
+        built += 1
+    return finalize(spark, store)

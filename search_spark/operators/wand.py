@@ -1,0 +1,354 @@
+"""Block-max WAND top-k scorer over compressed posting blocks (north_star).
+
+Exactness contract: identical top-k to the brute-force oracle — block-max
+WAND is *safe* pruning (skip only on provable upper bounds), so it keeps
+the reference's exact-search guarantee (/root/reference/README.md:13,
+index.go:26) while replacing its O(N·d) full scan with sublinear block
+skipping.
+
+Heap semantics mirror the reference's bounded min-heap
+(/root/reference/index.go:63-86): size-k, replace the minimum only on a
+strictly-greater key, final order descending.  Total order is pinned to
+``(score DESC, doc_id ASC)`` (SURVEY.md §7.5), hence:
+
+- heap keys are ``(score, -doc_id)``;
+- pruning uses *strict* comparison (skip only when upper bound < θ): a
+  candidate scoring exactly θ could still win its tie on doc_id, so equal
+  bounds must be evaluated.
+
+Scoring arithmetic matches the oracle bit-for-bit: python-float (C double)
+per-term contributions summed in ascending term order (SURVEY.md §7.5).
+
+Distribution model: postings are bucketed by doc range (``doc_bucket``), so
+one ``applyInPandas`` group = all query-term blocks for one doc range; each
+group runs an independent WAND with a local heap and emits its local top-k;
+the global top-k is the k best of (k × buckets) candidate rows — exact,
+because any global winner is a local winner in its bucket.  Query time thus
+shuffles only candidate *blocks* (pruned by term_bucket partition pruning +
+term predicate pushdown at the parquet scan), never raw postings rows.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import codec
+from ..analyzer import tokenize
+from ..sources.index_store import IndexStore
+
+K1 = 1.2
+B = 0.75
+INF = float("inf")
+
+
+class TermCursor:
+    """Lazy cursor over one term's block list (sorted by first_doc).
+
+    Blocks are decoded (delta+varint → numpy) only when entered; blocks
+    proven irrelevant by ``last_doc`` / block-max bounds are skipped
+    undecoded — that skip is the entire point of the block-max layout.
+    """
+
+    __slots__ = (
+        "term", "idf", "avgdl", "first", "last", "bmax", "payloads", "nblocks",
+        "bi", "pi", "docs", "tfs", "dls", "global_ub", "decoded", "skipped",
+    )
+
+    def __init__(self, term: str, idf: float, blocks: pd.DataFrame, avgdl: float):
+        self.term = term
+        self.idf = idf
+        self.avgdl = avgdl
+        self.first = blocks["first_doc"].to_numpy()
+        self.last = blocks["last_doc"].to_numpy()
+        self.bmax = blocks["block_max_raw"].to_numpy()
+        self.payloads = list(
+            zip(blocks["doc_ids_delta"], blocks["tfs"], blocks["dls"], blocks["n_docs"])
+        )
+        self.nblocks = len(self.payloads)
+        self.bi = 0
+        self.pi = 0
+        self.docs = None
+        self.global_ub = idf * float(self.bmax.max()) if self.nblocks else 0.0
+        self.decoded = 0
+        self.skipped = 0
+
+    # -- state ---------------------------------------------------------
+    def exhausted(self) -> bool:
+        return self.bi >= self.nblocks
+
+    def cur_doc(self) -> float:
+        if self.exhausted():
+            return INF
+        if self.docs is None:
+            # not decoded: current position is the block start, whose docID
+            # is stored exactly in metadata — no decode needed to peek.
+            return float(self.first[self.bi])
+        return float(self.docs[self.pi])
+
+    def block_ub(self) -> float:
+        return self.idf * float(self.bmax[self.bi]) if not self.exhausted() else 0.0
+
+    def block_last(self) -> int:
+        return int(self.last[self.bi])
+
+    # -- movement ------------------------------------------------------
+    def _decode(self) -> None:
+        if self.docs is None:
+            ids_b, tfs_b, dls_b, n = self.payloads[self.bi]
+            n = int(n)
+            self.docs = codec.decode_doc_ids(ids_b, int(self.first[self.bi]), n)
+            self.tfs = codec.decode_tfs(tfs_b, n)
+            self.dls = codec.varint_decode(dls_b)[:n].astype(np.int64)
+            self.decoded += 1
+
+    def shallow_to(self, d: int) -> None:
+        """Advance block pointer (no decode) until last_doc >= d."""
+        while not self.exhausted() and self.last[self.bi] < d:
+            if self.docs is None:
+                self.skipped += 1
+            self.bi += 1
+            self.docs = None
+            self.pi = 0
+
+    def skip_to(self, d: int) -> None:
+        """Position at the first posting with doc >= d."""
+        self.shallow_to(d)
+        if self.exhausted():
+            return
+        if self.docs is None and self.first[self.bi] >= d:
+            return  # block starts at/after target: stay at pi=0, decode deferred
+        self._decode()
+        # never move backwards: WAND only skips forward
+        self.pi = max(self.pi, int(np.searchsorted(self.docs, d)))
+        if self.pi >= len(self.docs):  # d beyond decoded block (can't happen after shallow_to)
+            self.bi += 1
+            self.docs = None
+            self.pi = 0
+
+    def advance(self) -> None:
+        """Move one posting forward."""
+        self._decode()
+        self.pi += 1
+        if self.pi >= len(self.docs):
+            self.bi += 1
+            self.docs = None
+            self.pi = 0
+
+    def score_cur(self) -> float:
+        """BM25 contribution at the current posting (python-float math,
+        bit-identical to oracle.term_score)."""
+        self._decode()
+        tf = float(self.tfs[self.pi])
+        dl = float(self.dls[self.pi])
+        return self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+
+
+def wand_topk(
+    blocks_by_term: dict[str, pd.DataFrame],
+    qidf: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> tuple[list[tuple[int, float]], dict]:
+    """Exact top-k over one doc range via block-max WAND.
+
+    Returns ([(doc_id, score)] ordered (score DESC, doc_id ASC), counters).
+    """
+    if k <= 0:
+        return [], {}
+    cursors = []
+    for term in sorted(blocks_by_term):  # ascending term order → fixed sum order
+        blk = blocks_by_term[term].sort_values("first_doc")
+        cursors.append(TermCursor(term, qidf[term], blk, avgdl))
+    heap: list[tuple[float, float]] = []  # (score, -doc_id)
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) == k else -INF
+
+    active = [c for c in cursors if not c.exhausted()]
+    while active:
+        order = sorted(active, key=lambda c: c.cur_doc())
+        th = theta()
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(order):
+            acc += c.global_ub
+            if acc >= th:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # no doc can beat θ — done
+        pivot_doc = order[pivot].cur_doc()
+        if pivot_doc == INF:
+            break
+        pivot_doc = int(pivot_doc)
+
+        if int(order[0].cur_doc()) == pivot_doc:
+            # candidates aligned; refine with block-level maxima before decode
+            aligned = [c for c in order if c.cur_doc() == pivot_doc]
+            for c in aligned:
+                c.shallow_to(pivot_doc)
+            block_acc = sum(c.block_ub() for c in aligned if not c.exhausted())
+            if len(heap) == k and block_acc < th:
+                # whole aligned blocks can't reach θ.  Safe jump target:
+                # d' = min(current block ends)+1, capped AT (not past) the
+                # next unaligned cursor's doc — its doc still needs the
+                # aligned cursors' contributions, so we may not skip beyond.
+                d_prime = 1 + min(
+                    (c.block_last() for c in aligned if not c.exhausted()),
+                    default=pivot_doc,
+                )
+                if pivot + 1 < len(order) and order[pivot + 1].cur_doc() != INF:
+                    d_prime = min(d_prime, int(order[pivot + 1].cur_doc()))
+                for c in aligned:
+                    c.skip_to(d_prime)
+            else:
+                # sum in ascending term order for bit-identity with oracle
+                score = 0.0
+                for c in sorted(aligned, key=lambda c: c.term):
+                    score += c.score_cur()
+                key = (score, -float(pivot_doc))
+                if len(heap) < k:
+                    heapq.heappush(heap, key)
+                elif key > heap[0]:  # strictly greater — index.go:74
+                    heapq.heapreplace(heap, key)
+                for c in aligned:
+                    c.advance()
+        else:
+            # advance the laggard cursor up to the pivot document
+            order[0].skip_to(pivot_doc)
+
+        active = [c for c in cursors if not c.exhausted()]
+
+    out = sorted(((int(-nd), s) for s, nd in heap), key=lambda r: (-r[1], r[0]))
+    counters = {
+        "blocks_decoded": sum(c.decoded for c in cursors),
+        "blocks_skipped": sum(c.skipped for c in cursors),
+    }
+    return out, counters
+
+
+# ---------------------------------------------------------------------------
+# Spark query pipeline over an IndexStore
+# ---------------------------------------------------------------------------
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+class IndexReader:
+    """Query-side handle on a persisted index (analogue of the loaded
+    ``Index[T]`` in /root/reference/example/main.go:59-65, but lazy: only
+    the manifest + stats are read eagerly; postings stream per query)."""
+
+    def __init__(self, spark: SparkSession, store: IndexStore):
+        store.check_versions()
+        self.spark = spark
+        self.store = store
+        self.stats = store.stats()
+        m = store.manifest()
+        self.term_buckets = m["term_buckets"]
+
+    def _dictionary_rows(self, terms: list[str]) -> dict[str, float]:
+        if not terms:
+            return {}
+        rows = (
+            self.spark.read.parquet(self.store.dictionary_path)
+            .filter(F.col("term").isin(terms))
+            .select("term", "idf")
+            .collect()
+        )
+        return {r["term"]: float(r["idf"]) for r in rows}
+
+    def candidate_blocks(self, terms: list[str]) -> DataFrame:
+        """Scan only the term_bucket partitions + terms of the query:
+        partition pruning on the directory column, then predicate pushdown
+        on ``term`` into the parquet row groups."""
+        buckets = sorted({self._term_bucket(t) for t in terms})
+        posts = self.spark.read.option("basePath", self.store.postings_path()).parquet(
+            self.store.postings_path()
+        )
+        return posts.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def _term_bucket(self, term: str) -> int:
+        # mirror of F.pmod(F.xxhash64(term), term_buckets) — computed once on
+        # the driver per query term via a tiny Spark expression eval
+        row = self.spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(term)), F.lit(self.term_buckets)).cast("int").alias("b")
+        ).collect()[0]
+        return int(row["b"])
+
+    def batch_search(self, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
+        """Batch top-k: queries = [(query_id, query_text)].
+
+        Plan: candidate blocks (pruned scan) ⋈ broadcast(query_id, term)
+        → applyInPandas WAND per (query_id, doc_bucket) with local heaps
+        → global per-query top-k over k×buckets candidate rows.
+        Returns (query_id, rank, doc_id, score).
+        """
+        if k <= 0:
+            return self.spark.createDataFrame(
+                [], "query_id string, rank int, doc_id bigint, score double"
+            )
+        qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        idf_map = self._dictionary_rows(all_terms)
+        live_terms = [t for t in all_terms if t in idf_map]
+
+        pairs = [(qid, t) for qid, ts in qterms.items() for t in ts if t in idf_map]
+        if not pairs:
+            return self.spark.createDataFrame(
+                [], "query_id string, rank int, doc_id bigint, score double"
+            )
+        qdf = self.spark.createDataFrame(pairs, "query_id string, term string")
+
+        blocks = self.candidate_blocks(live_terms)
+        joined = blocks.join(F.broadcast(qdf), "term")
+
+        avgdl = float(self.stats["avgdl"])
+        idf_b = dict(idf_map)
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = pdf["query_id"].iloc[0]
+            by_term = {t: g for t, g in pdf.groupby("term")}
+            top, _ = wand_topk(by_term, idf_b, avgdl, k)
+            if not top:
+                return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+            out = pd.DataFrame(top, columns=["doc_id", "score"])
+            out.insert(0, "query_id", qid)
+            return out
+
+        local = joined.groupBy("query_id", "doc_bucket").applyInPandas(
+            score_group, schema=RESULT_SCHEMA
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def search(self, query_text: str, k: int = 10) -> DataFrame:
+        """Single query → (rank, doc_id, score)."""
+        return self.batch_search([("q", query_text)], k).drop("query_id")
+
+    def rehydrate(self, results: DataFrame) -> DataFrame:
+        """Join results back to the staged docs table — the reference keeps
+        the payload inline in each entry (/root/reference/index.go:16-17);
+        we store it relationally and join on demand."""
+        docs = self.spark.read.parquet(self.store.docs_path()).select(
+            "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        )
+        return results.join(docs, "doc_id", "left")

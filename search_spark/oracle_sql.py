@@ -70,6 +70,15 @@ ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
 
 
+def bm25_batch_sql(pairs: list[tuple[str, str]], k: int, docs_sql: str = DOCS_SQL) -> str:
+    """Batch top-k: UNION ALL of per-query oracles with a query_id column."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id, rank, score_micro FROM ({bm25_topk_sql(text, k, docs_sql)})"
+        for qid, text in pairs
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def dictionary_sql(limit: int = 100, docs_sql: str = DOCS_SQL) -> str:
     """Top terms by (df DESC, term ASC): (term, df, cf)."""
     return f"""

@@ -50,20 +50,22 @@ def test_make_blocks(seed):
     doc_ids = np.cumsum(rng.integers(1, 50, size=n)).astype(np.int64)
     tfs = rng.integers(1, 50, size=n).astype(np.int64)
     dls = rng.integers(5, 100, size=n).astype(np.int64)
-    idf_t, avgdl = 1.7, 33.3
-    blocks = codec.make_blocks(doc_ids, tfs, dls, idf_t, avgdl)
+    avgdl = 33.3
+    blocks = codec.make_blocks(doc_ids, tfs, dls, avgdl)
 
     assert sum(b["n_docs"] for b in blocks) == n
     off = 0
     k1, b_ = 1.2, 0.75
-    true_scores = idf_t * tfs * (k1 + 1) / (tfs + k1 * (1 - b_ + b_ * dls / avgdl))
+    true_raw = tfs * (k1 + 1) / (tfs + k1 * (1 - b_ + b_ * dls / avgdl))
     for blk in blocks:
-        d, t = codec.decode_block(blk)
+        d, t, dl = codec.decode_block(blk)
         m = blk["n_docs"]
         assert np.array_equal(d, doc_ids[off : off + m])
         assert np.array_equal(t, tfs[off : off + m])
+        assert np.array_equal(dl, dls[off : off + m])
         assert blk["block_max_tf"] == tfs[off : off + m].max()
-        assert blk["block_max_score"] == pytest.approx(true_scores[off : off + m].max(), abs=0)
+        assert blk["block_max_raw"] == pytest.approx(true_raw[off : off + m].max(), abs=0)
+        assert blk["cf_block"] == tfs[off : off + m].sum()
         assert blk["first_doc"] == doc_ids[off]
         assert blk["last_doc"] == doc_ids[off + m - 1]
         assert m <= codec.BLOCK_SIZE
