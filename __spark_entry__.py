@@ -169,6 +169,103 @@ def _q_wand_batch(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-pipeline operators: dedup / similarity / text stats / media
+# ---------------------------------------------------------------------------
+
+from search_spark import oracle_sql_pipeline as osp  # noqa: E402
+from search_spark.operators import dedup as dd  # noqa: E402
+from search_spark.operators import media as md  # noqa: E402
+from search_spark.operators import similarity as sim  # noqa: E402
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+PAIR_TOP_N = 50
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash_fps(spark, sf_dir):
+    return dd.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return dd.simhash_pairs(_docs(spark, sf_dir))
+
+
+def _q_ann_brute(spark, sf_dir):
+    return sim.ann_brute_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def _q_cos_pairs(spark, sf_dir):
+    return sim.cosine_top_pairs(_emb(spark, sf_dir), PAIR_TOP_N)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    # approximate path: driver records rows-only; recall vs brute force is
+    # pinned in tests/test_pipeline_ops.py
+    return sim.ann_lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+
+
+def _q_token_counts(spark, sf_dir):
+    from search_spark.functions import textstats as ts
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        ts.ws_token_count_col(F.col("text")).alias("ws_tokens"),
+        F.size(toks).cast("int").alias("re_tokens"),
+        ts.bpe_count_col(toks).alias("bpe_tokens"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from search_spark.functions import textstats as ts
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.lang_id_col(tokens_col("text")).alias("lang_pred")
+    )
+
+
+def _q_quality(spark, sf_dir):
+    from search_spark.functions import textstats as ts
+
+    docs = _docs(spark, sf_dir)
+    cols = ts.quality_cols(F.col("text"), tokens_col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+def _q_fingerprints(spark, sf_dir):
+    from search_spark.functions.hashing import rolling_fp_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", rolling_fp_col(tokens_col("text")).alias("fingerprint")
+    )
+
+
+def _q_media_meta(spark, sf_dir):
+    return md.media_metadata(md.attach_payload(_docs(spark, sf_dir)))
+
+
+def _q_frame_sample(spark, sf_dir):
+    return md.frame_sample(md.attach_payload(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_head": _q_bm25_head,
@@ -182,6 +279,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_head": _q_wand_head,
         "bm25_wand_mix": _q_wand_mix,
         "bm25_wand_batch": _q_wand_batch,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_simhash_fingerprints": _q_simhash_fps,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "ann_cosine_topk": _q_ann_brute,
+        "embedding_top_pairs": _q_cos_pairs,
+        "ann_lsh_topk": _q_ann_lsh,
+        "text_token_counts": _q_token_counts,
+        "text_lang_id": _q_lang_id,
+        "text_quality": _q_quality,
+        "text_fingerprints": _q_fingerprints,
+        "media_metadata": _q_media_meta,
+        "media_frame_sample": _q_frame_sample,
     }
 
 
@@ -200,4 +311,18 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_batch": osql.bm25_batch_sql(
             [("h", Q_HEAD), ("m", Q_MIX), ("r", Q_RARE)], _TOPK
         ),
+        "dedup_exact": osp.dedup_exact_sql(),
+        "dedup_minhash_lsh": osp.minhash_lsh_sql(),
+        "dedup_ngram_jaccard": osp.ngram_jaccard_sql(),
+        "dedup_simhash_fingerprints": osp.simhash_fingerprints_sql(),
+        "dedup_simhash_pairs": osp.simhash_pairs_sql(),
+        "ann_cosine_topk": osp.ann_brute_sql(ANN_QUERY_IDS, ANN_K),
+        "embedding_top_pairs": osp.cosine_top_pairs_sql(PAIR_TOP_N),
+        # ann_lsh_topk: intentionally no oracle (approximate; rows-only check)
+        "text_token_counts": osp.token_counts_sql(),
+        "text_lang_id": osp.lang_id_sql_query(),
+        "text_quality": osp.quality_sql_query(),
+        "text_fingerprints": osp.fingerprints_sql(),
+        "media_metadata": osp.media_metadata_sql(),
+        "media_frame_sample": osp.frame_sample_sql(),
     }

@@ -1,0 +1,273 @@
+"""Deduplication operators for training-data pipelines.
+
+Four dedup families over a ``(doc_id BIGINT, text STRING)`` corpus, all
+expressed as declarative DataFrame programs over JVM built-ins — the only
+shuffles are the keyed groupBys/joins listed per operator, every one of
+them on a bounded or salt-splittable key, so the plans survive a 100×
+scale-up:
+
+- exact:          hash-groupBy on md5(text); one shuffle on the 128-bit
+                  hash (uniform — no skew by construction).
+- MinHash + LSH:  shingle → h32 → K permuted mins (one hash-aggregate) →
+                  band keys → self-join per band (shuffle key =
+                  (band_id, 4-minhash band key): near-uniform) → exact
+                  Jaccard verification of candidates only.
+- n-gram Jaccard: inverted shingle join — the exact-pair path; shuffle
+                  key = shingle.  ``max_shingle_df`` caps Zipf-head
+                  shingles (documented approximation for the 100 TB path;
+                  default None = exact).
+- SimHash:        32-bit tf-weighted fingerprint in ONE hash-aggregate
+                  (32 conditional sums — no explode-by-bit), byte-banded
+                  candidate join, Hamming-distance filter.
+
+The reference has no dedup (single-container vector index); these extend
+the engine per the training-pipeline brief.  Hash spec: functions/hashing.py
+(pinned, versioned — the reference pins meaning via its model file the
+same way, /root/reference/llama.go:20-36).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analyzer import tokens_col
+from ..functions.hashing import (
+    MINHASH_BANDS,
+    MINHASH_ROWS,
+    h32_col,
+    minhash_perm_col,
+)
+
+NGRAM_W = 3          # shingle width (tokens)
+JACCARD_T = 0.5      # near-dup threshold (pairs at/above are dups)
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 2  # true near-dups sit at 0-2; background starts ≥3 (measured)
+
+
+# -- shared shingling -------------------------------------------------------
+
+def shingles_col(tokens: Column, w: int = NGRAM_W) -> Column:
+    """Distinct w-token shingles (space-joined).  Guarded so short docs
+    yield [] (Spark's ``sequence`` would otherwise count *down*)."""
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(w - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, w)),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= w, mk).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def doc_shingles(docs: DataFrame, w: int = NGRAM_W) -> DataFrame:
+    """(doc_id, shingle) exploded-distinct, plus per-doc set size."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(tokens_col("text"), w)).alias("shingle")
+    )
+    return sh
+
+
+def shingle_set_sizes(sh: DataFrame) -> DataFrame:
+    return sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+
+
+# -- 1. exact dedup ---------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Per-doc annotation: (doc_id, text_md5, keeper_id, is_dup).
+
+    keeper = min(doc_id) within each md5(text) group; is_dup marks rows a
+    pipeline would drop.  One shuffle, keyed on the uniform 128-bit hash.
+    """
+    h = docs.withColumn("text_md5", F.md5(F.col("text").cast("string")))
+    w = Window.partitionBy("text_md5")
+    return h.select(
+        "doc_id",
+        "text_md5",
+        F.min("doc_id").over(w).alias("keeper_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+
+
+# -- 2. MinHash + LSH -------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mhK-1): K permuted minima in one hash-aggregate.
+
+    The input explode is the only wide stage; the aggregate does map-side
+    partial mins, so the shuffle carries ≤ K longs per (mapper, doc).
+    """
+    h = sh.withColumn("h", h32_col(F.col("shingle")))
+    perms = [minhash_perm_col(F.col("h"), j).alias(f"p{j}") for j in range(16)]
+    ph = h.select("doc_id", *perms)
+    return ph.groupBy("doc_id").agg(
+        *[F.min(f"p{j}").alias(f"mh{j}") for j in range(16)]
+    )
+
+
+def lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Banded self-join: pairs sharing ≥1 of MINHASH_BANDS band keys."""
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [f"mh{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.alias("a")
+    bb = banded.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def _verified_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs; output (a_id, b_id, jacc_micro)."""
+    sizes = shingle_set_sizes(sh)
+    # exact common-shingle count via double equi-join on (pair, shingle)
+    a_sh = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    common = (
+        pairs.join(a_sh, "a_id").join(b_sh, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("common"))
+    )
+    jacc = (
+        common.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("set_size", "sa"), "a_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("set_size", "sb"), "b_id")
+        .withColumn(
+            "jacc",
+            F.col("common").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jacc") >= F.lit(threshold))
+    )
+    return jacc.select(
+        "a_id", "b_id", F.round(F.col("jacc") * 1e6).cast("bigint").alias("jacc_micro")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = JACCARD_T, w: int = NGRAM_W
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH candidates + exact verification."""
+    sh = doc_shingles(docs, w)
+    cand = lsh_candidates(minhash_signatures(sh))
+    return _verified_pairs(cand, sh, threshold)
+
+
+# -- 3. exact n-gram Jaccard (inverted-index join) --------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_T,
+    w: int = NGRAM_W,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with Jaccard ≥ threshold, via self-join on shingle.
+
+    ``max_shingle_df`` drops Zipf-head shingles from *candidate generation*
+    (pairs sharing only ultra-common shingles are skipped — the standard
+    scale approximation); verification stays exact over all shingles.
+    """
+    sh = doc_shingles(docs, w)
+    cand_sh = sh
+    if max_shingle_df is not None:
+        dfs = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        cand_sh = sh.join(
+            F.broadcast(dfs.filter(F.col("sdf") <= max_shingle_df).select("shingle")),
+            "shingle",
+        )
+    a = cand_sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = cand_sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _verified_pairs(pairs, sh, threshold)
+
+
+# -- 4. SimHash -------------------------------------------------------------
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash BIGINT): 32-bit tf-weighted SimHash.
+
+    One explode + ONE hash-aggregate with 32 conditional sums — no
+    per-bit explode, so the shuffle is |docs|×|distinct terms| rows in,
+    |docs| rows of 32 longs out (map-side partial sums apply).
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("h", h32_col(F.col("term")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tf.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """Candidate pairs whose byte-banded SimHashes collide, filtered by
+    Hamming distance ≤ max_hamming.  Output (a_id, b_id, hamming INT)."""
+    fps = simhash_fingerprints(docs)
+    bands = []
+    for i in range(4):
+        bands.append(
+            fps.select(
+                "doc_id",
+                "simhash",
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,203 @@
+"""Embedding similarity search over ``embeddings(vec_id, embedding, label)``.
+
+Analogue of the reference's core loop — brute-force exact cosine top-k with
+a bounded heap (/root/reference/index.go:53-86, SIMD dot product at
+internal/cosine/simd/simd.go:33-44) — re-expressed for Spark:
+
+- ``cosine_col``: dot/norm as a *sequential left fold in double*
+  (``F.aggregate`` over ``F.zip_with``).  Fold order and precision are
+  pinned so the DuckDB oracle (same fold via list_reduce) reproduces the
+  score bit-for-bit — the cross-engine analogue of the reference's
+  kernel-vs-scalar equivalence tests (simd_test.go:52-74).
+- ``ann_brute_topk``: exact top-k per query.  The query side is a tiny
+  broadcast; the corpus side is a full scan (the reference's contract);
+  per-query ranking is a window top-k = Spark's bounded-heap
+  TakeOrderedAndProject shape.
+- ``cosine_top_pairs``: top-N most-similar pairs (near-dup analysis form).
+- ``ann_lsh_topk``: the 100 TB path — sign-random-projection LSH buckets
+  (deterministic ±1 hyperplanes derived from the pinned hash spec) so each
+  query scans one bucket instead of the full corpus.  Exactness is traded
+  for recall; tests pin observed recall vs the brute-force baseline.
+
+At 100 TB the brute-force path stays the *verification* tool (sampled),
+and the bucketed path is the serving plan: buckets are written
+partitioned-by-bucket so a query prunes to one partition (predicate
+pushdown on the bucket key), exactly like the term-bucketed postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import h32_py
+
+LSH_PLANES = 4   # bucket key bits per hash table
+LSH_TABLES = 4   # independent hash tables (multi-table LSH: union of candidates)
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (order-pinned)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cos = dot / (na * nb), norms precomputed per vector once."""
+    return dot_col(a, b) / (na * nb)
+
+
+def with_norm(emb: DataFrame) -> DataFrame:
+    return emb.withColumn("nrm", norm_col(F.col("embedding")))
+
+
+def ann_brute_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+    """Exact cosine top-k for each query vector (queries live in the corpus).
+
+    Output (query_id, vec_id, rank, cos_micro); total order per query =
+    (cos_micro DESC, vec_id ASC) over micro-rounded scores so ranks are
+    engine-independent (same convention as the BM25 top-k).
+    """
+    e = with_norm(emb).select("vec_id", "embedding", "nrm")
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_col(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")) * 1e6
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_micro")
+    )
+
+
+def cosine_top_pairs(emb: DataFrame, n: int = 50) -> DataFrame:
+    """Top-N most-similar distinct pairs (a_id < b_id) by exact cosine.
+
+    O(N²) by design — the near-dup *verification* form.  At scale, feed it
+    LSH candidates instead of the full cross join (same downstream)."""
+    e = with_norm(emb).select("vec_id", "embedding", "nrm")
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
+    )
+    pairs = a.join(b, F.col("a_id") < F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        F.round(
+            cosine_col(F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")) * 1e6
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    return pairs.orderBy(F.desc("cos_micro"), F.asc("a_id"), F.asc("b_id")).limit(n)
+
+
+# -- LSH path ---------------------------------------------------------------
+
+def _plane_signs(dim: int, table: int, plane: int) -> list[float]:
+    """Deterministic ±1 hyperplane from the pinned hash spec."""
+    return [
+        1.0 if h32_py(f"lshplane/{table}/{plane}/{i}") & 1 else -1.0 for i in range(dim)
+    ]
+
+
+def lsh_bucket_col(emb: Column, dim: int, table: int, planes: int = LSH_PLANES) -> Column:
+    """Bucket id in [0, 2^planes) for one hash table:
+    bit p = sign(emb · plane_{table,p})."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        signs = F.array(*[F.lit(s) for s in _plane_signs(dim, table, p)])
+        proj = dot_col(emb, signs)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_bucketed(emb: DataFrame, dim: int, tables: int = LSH_TABLES) -> DataFrame:
+    """(vec_id, embedding, nrm, table_id, bucket) — one row per hash table.
+
+    At scale this is the *persisted* form: written partitioned by
+    (table_id, bucket) so a query's candidate fetch prunes to L partitions
+    (predicate pushdown on the partition keys), the same pruning story as
+    the term-bucketed postings."""
+    e = with_norm(emb)
+    parts = [
+        e.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.lit(t).alias("table_id"),
+            lsh_bucket_col(F.col("embedding"), dim, t).alias("bucket"),
+        )
+        for t in range(tables)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    tables: int = LSH_TABLES,
+) -> DataFrame:
+    """Approximate top-k: candidates = union over L hash tables of the
+    query's bucket mates (multi-table sign-LSH), then exact cosine + rank.
+
+    Output schema matches ann_brute_topk; recall vs the brute-force
+    baseline is pinned in tests."""
+    b = lsh_bucketed(emb, dim, tables)
+    q = b.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("table_id").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        b.join(
+            F.broadcast(q),
+            (F.col("table_id") == F.col("q_table")) & (F.col("bucket") == F.col("q_bucket")),
+        )
+        .select("query_id", "vec_id", "embedding", "nrm", "q_emb", "q_nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_col(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")) * 1e6
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_micro")
+    )

@@ -1,0 +1,294 @@
+"""DuckDB oracle SQL for the training-pipeline operators (dedup /
+similarity / text-stats / media).
+
+Same conventions as oracle_sql.py: shared frozen specs (analyzer.sql_tokens,
+functions/hashing fragments, inlined MinHash constants), float outputs as
+integer micro-units, ranks computed over rounded values.
+
+ASCII note: the synthetic ``documents.text`` is pure ASCII (asserted in
+tests), so oracle-side ``md5(text)`` / ``substring(text, ...)`` equal the
+engine's byte-level ``md5(payload)`` / payload slicing.  The ENGINE operates
+on real bytes; only the oracle leans on the ASCII equivalence (DuckDB has
+no blob md5/substring).
+"""
+
+from __future__ import annotations
+
+from .analyzer import sql_tokens
+from .functions.hashing import P31, h32_sql, minhash_perm_sql
+from .functions.textstats import (
+    LANG_MARKERS,
+    lang_id_sql,
+    quality_sql,
+    quality_sql_lateral,
+    bpe_count_sql,
+    ws_token_count_sql,
+)
+from .functions.hashing import rolling_fp_sql
+from .operators.dedup import (
+    JACCARD_T,
+    NGRAM_W,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+)
+from .operators.media import FAKE_MIN_DIM, FAKE_W_MOD, FRAME_STEP
+
+assert NGRAM_W == 3, "shingle SQL below is written for w=3"
+
+DOCS_SQL = "SELECT doc_id, text FROM documents"
+EMB_SQL = "SELECT vec_id, embedding FROM embeddings"
+
+
+def _shingles(toks: str) -> str:
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - 2), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+    )
+
+
+def _shingle_ctes(docs_sql: str = DOCS_SQL) -> str:
+    toks = sql_tokens("text")
+    return f"""
+  docs AS ({docs_sql}),
+  sh AS (
+    SELECT doc_id, unnest({_shingles(toks)}) AS shingle
+    FROM docs),
+  sz AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id)"""
+
+
+def _jaccard_verify(pairs_cte: str, threshold: float) -> str:
+    """Closing SELECT: exact Jaccard over candidate pairs in ``cand``."""
+    return f"""
+  cmn AS (
+    SELECT c.a_id, c.b_id, count(*) AS n_common
+    FROM {pairs_cte} c
+    JOIN sh sa ON sa.doc_id = c.a_id
+    JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+    GROUP BY c.a_id, c.b_id),
+  jacc AS (
+    SELECT cmn.a_id, cmn.b_id,
+           CAST(n_common AS DOUBLE) / CAST(za.set_size + zb.set_size - n_common AS DOUBLE) AS jacc
+    FROM cmn
+    JOIN sz za ON za.doc_id = cmn.a_id
+    JOIN sz zb ON zb.doc_id = cmn.b_id)
+SELECT a_id, b_id, CAST(round(jacc * 1e6) AS BIGINT) AS jacc_micro
+FROM jacc WHERE jacc >= {threshold}"""
+
+
+def dedup_exact_sql(docs_sql: str = DOCS_SQL) -> str:
+    return f"""
+WITH docs AS ({docs_sql})
+SELECT doc_id,
+       md5(text) AS text_md5,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM docs"""
+
+
+def minhash_lsh_sql(threshold: float = JACCARD_T, docs_sql: str = DOCS_SQL) -> str:
+    """LSH candidates (4 bands × 4 rows over the 16 inlined permutations)
+    + exact Jaccard verification — mirrors operators.dedup.minhash_lsh_pairs."""
+    h = h32_sql("shingle")
+    mins = ",\n           ".join(
+        f"min({minhash_perm_sql(h, j)}) AS mh{j}" for j in range(16)
+    )
+    band_rows = []
+    for b in range(4):
+        cols = " || '_' || ".join(
+            f"CAST(mh{b * 4 + r} AS VARCHAR)" for r in range(4)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band_id, {cols} AS band_key FROM sig")
+    bands = "\n    UNION ALL\n    ".join(band_rows)
+    return f"""
+WITH {_shingle_ctes(docs_sql)},
+  sig AS (
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id),
+  banded AS (
+    {bands}),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id),
+  {_jaccard_verify('cand', threshold)}"""
+
+
+def ngram_jaccard_sql(threshold: float = JACCARD_T, docs_sql: str = DOCS_SQL) -> str:
+    return f"""
+WITH {_shingle_ctes(docs_sql)},
+  cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+  {_jaccard_verify('cand', threshold)}"""
+
+
+def _simhash_ctes(docs_sql: str = DOCS_SQL) -> str:
+    toks = sql_tokens("text")
+    h = h32_sql("term")
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+  docs AS ({docs_sql}),
+  tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest({toks}) AS term FROM docs)
+    GROUP BY doc_id, term),
+  bits AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM tf GROUP BY doc_id),
+  fps AS (SELECT doc_id, {fp} AS simhash FROM bits)"""
+
+
+def simhash_fingerprints_sql(docs_sql: str = DOCS_SQL) -> str:
+    return f"""
+WITH {_simhash_ctes(docs_sql)}
+SELECT doc_id, simhash FROM fps"""
+
+
+def simhash_pairs_sql(
+    max_hamming: int = SIMHASH_MAX_HAMMING, docs_sql: str = DOCS_SQL
+) -> str:
+    bands = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, simhash, {i} AS band_id, (simhash >> {i * 8}) & 255 AS band_key FROM fps"
+        for i in range(4)
+    )
+    return f"""
+WITH {_simhash_ctes(docs_sql)},
+  banded AS (
+    {bands}),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id)
+SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+# -- similarity -------------------------------------------------------------
+
+def _dot(a: str, b: str) -> str:
+    """Sequential left fold in DOUBLE — bit-identical to the Spark fold."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip({a}, {b}), "
+        f"s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def _emb_ctes(emb_sql: str = EMB_SQL) -> str:
+    return f"""
+  emb AS ({emb_sql}),
+  en AS (SELECT vec_id, embedding, sqrt({_dot('embedding', 'embedding')}) AS nrm FROM emb)"""
+
+
+def ann_brute_sql(query_ids: list[int], k: int, emb_sql: str = EMB_SQL) -> str:
+    qs = ", ".join(str(q) for q in query_ids)
+    cos = f"{_dot('q.embedding', 'e.embedding')} / (q.nrm * e.nrm)"
+    return f"""
+WITH {_emb_ctes(emb_sql)},
+  q AS (SELECT * FROM en WHERE vec_id IN ({qs})),
+  scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_micro
+    FROM q CROSS JOIN en e),
+  ranked AS (
+    SELECT query_id, vec_id, cos_micro,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_micro DESC, vec_id) AS INT) AS rank
+    FROM scored)
+SELECT query_id, vec_id, rank, cos_micro FROM ranked WHERE rank <= {k}"""
+
+
+def cosine_top_pairs_sql(n: int, emb_sql: str = EMB_SQL) -> str:
+    cos = f"{_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return f"""
+WITH {_emb_ctes(emb_sql)}
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_micro
+FROM en a JOIN en b ON a.vec_id < b.vec_id
+ORDER BY cos_micro DESC, a_id, b_id
+LIMIT {n}"""
+
+
+# -- text stats -------------------------------------------------------------
+
+def token_counts_sql(docs_sql: str = DOCS_SQL) -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH docs AS ({docs_sql})
+SELECT doc_id,
+       {ws_token_count_sql('text')} AS ws_tokens,
+       CAST(len({toks}) AS INT) AS re_tokens,
+       {bpe_count_sql(toks)} AS bpe_tokens
+FROM docs"""
+
+
+def lang_id_sql_query(docs_sql: str = DOCS_SQL) -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH docs AS ({docs_sql})
+SELECT doc_id, {lang_id_sql(toks)} AS lang_pred
+FROM docs"""
+
+
+def quality_sql_query(docs_sql: str = DOCS_SQL) -> str:
+    return f"""
+WITH docs AS ({docs_sql}),
+  base AS (
+    SELECT doc_id, text, {quality_sql_lateral('text')}
+    FROM docs)
+SELECT doc_id, {quality_sql('text')}
+FROM base"""
+
+
+def fingerprints_sql(docs_sql: str = DOCS_SQL) -> str:
+    toks = sql_tokens("text")
+    return f"""
+WITH docs AS ({docs_sql})
+SELECT doc_id, {rolling_fp_sql(toks)} AS fingerprint
+FROM docs"""
+
+
+# -- media ------------------------------------------------------------------
+
+def media_metadata_sql(media_type: str = "image/fake", docs_sql: str = DOCS_SQL) -> str:
+    h = h32_sql("text")
+    return f"""
+WITH docs AS ({docs_sql})
+SELECT doc_id,
+       '{media_type}' AS media_type,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       {h} AS content_h32,
+       CAST(({h}) % {FAKE_W_MOD} + {FAKE_MIN_DIM} AS INT) AS width,
+       CAST((({h}) // {FAKE_W_MOD}) % {FAKE_W_MOD} + {FAKE_MIN_DIM} AS INT) AS height,
+       'FAKE' AS format
+FROM docs"""
+
+
+def frame_sample_sql(docs_sql: str = DOCS_SQL) -> str:
+    """Frames: fi = 0.. over chunks 0, FRAME_STEP, 2*FRAME_STEP < ceil(len/64);
+    frame_h32 = h32 of the 64-char slice (ASCII ⇒ 64-byte slice)."""
+    return f"""
+WITH docs AS ({docs_sql}),
+  chunks AS (
+    SELECT doc_id, text,
+           (octet_length(encode(text)) + 63) // 64 AS n_chunks
+    FROM docs),
+  frames AS (
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, CAST(ceil(n_chunks * 1.0 / {FRAME_STEP}) AS BIGINT) - 1)) AS INT) AS fi,
+           text
+    FROM chunks WHERE n_chunks > 0)
+SELECT doc_id,
+       fi AS frame_idx,
+       {h32_sql(f"substring(text, fi * {FRAME_STEP} * 64 + 1, 64)")} AS frame_h32
+FROM frames"""

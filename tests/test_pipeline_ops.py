@@ -1,0 +1,151 @@
+"""Unit tests for the training-pipeline operators (dedup / similarity /
+text stats / media) — spec-level agreement across the three
+implementations (Python / Spark Column / DuckDB SQL) plus behavior checks
+the driver's oracle gate can't see (LSH recall, stub seams).
+
+The full Spark-vs-DuckDB comparison of every operator runs in
+tests/test_entry_contract.py at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from search_spark.analyzer import tokenize
+from search_spark.functions import hashing as H
+from search_spark.functions import textstats as TS
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_h32_three_way(spark, ddb):
+    samples = ["", "hello", "the fast scan", "a b c", "héllo-∆"]
+    py = [H.h32_py(s) for s in samples]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s string")
+    sp = [r[0] for r in sdf.select(H.h32_col(F.col("s"))).collect()]
+    dk = [
+        ddb.execute(f"SELECT {H.h32_sql('?')}", [s]).fetchone()[0] for s in samples
+    ]
+    assert py == sp == dk
+
+
+def test_minhash_perm_bounds_and_agreement(spark):
+    # no signed-64 overflow by construction; three-way agreement on perms
+    hmax = 2**32 - 1
+    for j in range(H.MINHASH_K):
+        assert H.MINHASH_A[j] * (hmax % H.P31) + H.MINHASH_B[j] < 2**63
+    sdf = spark.createDataFrame([(H.h32_py("x"),)], "h long")
+    sp = sdf.select(
+        *[H.minhash_perm_col(F.col("h"), j) for j in range(H.MINHASH_K)]
+    ).collect()[0]
+    py = [H.minhash_perm_py(H.h32_py("x"), j) for j in range(H.MINHASH_K)]
+    assert list(sp) == py
+
+
+def test_rolling_fingerprint_three_way(spark, ddb):
+    texts = ["the fast scan merges", "", "one", "a a a a a a"]
+    py = [H.rolling_fp_py(tokenize(t)) for t in texts]
+    sdf = spark.createDataFrame([(t,) for t in texts], "t string")
+    from search_spark.analyzer import tokens_col
+
+    sp = [r[0] for r in sdf.select(H.rolling_fp_col(tokens_col("t"))).collect()]
+    from search_spark.analyzer import sql_tokens
+
+    dk = [
+        ddb.execute(f"SELECT {H.rolling_fp_sql(sql_tokens('?'))}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert py == sp == dk
+
+
+def test_lang_id_spec(spark):
+    cases = {
+        "the cat is on the mat": "en",
+        "el que la de los": "es",
+        "": "und",
+        "xyz qrs tuv": "und",
+        # tie between en and de on 'und'? 'und' is a de marker only
+        "der die und": "de",
+    }
+    sdf = spark.createDataFrame([(t,) for t in cases], "t string")
+    from search_spark.analyzer import tokens_col
+
+    got = [r[0] for r in sdf.select(TS.lang_id_col(tokens_col("t"))).collect()]
+    assert got == list(cases.values())
+    assert [TS.lang_id_py(tokenize(t)) for t in cases] == list(cases.values())
+
+
+def test_bpe_count_spec():
+    assert TS.bpe_count_py([]) == 0
+    assert TS.bpe_count_py(["ab"]) == 1
+    assert TS.bpe_count_py(["abcd", "abcde"]) == 1 + 2
+
+
+def test_ann_lsh_recall_vs_brute(spark):
+    """Pin the observed recall of the bucketed path on the fixed corpus —
+    deterministic (seeded data + pinned planes), so exact assertion."""
+    from search_spark.operators.similarity import ann_brute_topk, ann_lsh_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    qids = [0, 1, 2, 3, 4]
+    brute = {
+        (r["query_id"], r["vec_id"]) for r in ann_brute_topk(emb, qids, 10).collect()
+    }
+    lsh = {
+        (r["query_id"], r["vec_id"]) for r in ann_lsh_topk(emb, qids, 10).collect()
+    }
+    # every LSH hit must be a true neighbor of its query's bucket → subset of
+    # the corpus; self-match always survives (query is in its own bucket)
+    assert {(q, q) for q in qids} <= lsh
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.3, recall  # bucketing to 1/256 of corpus keeps ≥30% here
+
+
+def test_media_decode_stub_seam():
+    from search_spark.operators.media import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01", fake=False)
+    meta = decode_image(b"payload", fake=True)
+    assert set(meta) == {"width", "height", "format"}
+    assert meta["width"] >= 16 and meta["height"] >= 16
+
+
+def test_media_plumbing_shapes(spark):
+    from search_spark.operators.media import attach_payload, frame_sample, media_metadata
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").limit(20)
+    media = attach_payload(docs)
+    meta = media_metadata(media)
+    rows = meta.collect()
+    assert len(rows) == 20
+    assert meta.columns == [
+        "doc_id", "media_type", "byte_len", "content_h32", "width", "height", "format",
+    ]
+    frames = frame_sample(media).collect()
+    assert len(frames) >= 20  # every doc emits ≥1 frame
+    # deterministic: same input → same fan-out
+    assert len(frames) == len(frame_sample(media).collect())
+
+
+def test_simhash_near_dups_rank_below_background(spark, ddb):
+    """True near-dup pairs (Jaccard ≥ 0.5) must appear among simhash pairs
+    at the pinned Hamming threshold."""
+    from search_spark.operators.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    true_pairs = {
+        (r["a_id"], r["b_id"]) for r in ngram_jaccard_pairs(docs).collect()
+    }
+    sh_pairs = {(r["a_id"], r["b_id"]) for r in simhash_pairs(docs).collect()}
+    hit = len(true_pairs & sh_pairs) / max(len(true_pairs), 1)
+    assert hit >= 0.8, hit  # candidate generator: high recall on true dups
