@@ -1,33 +1,76 @@
 #!/usr/bin/env python
-"""Benchmark driver: index build + batch BM25 query at $SPARK_GRAFT_SF_DIR.
+"""Benchmark driver for the search_spark engine.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Default mode (the per-round driver contract) prints ONE JSON line over
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``:
 
-``value`` is the total wall time of the headline workload (build + query
-batch) on local[$SPARK_GRAFT_CPUS].  Per-query times are in "queries".
-Scaling evidence across two parallelism levels is produced by
-``python bench.py --scaling`` (writes BENCH/BASELINE.md) — the sandbox
-stand-in for the N vs 4N executor criterion (see BASELINE.md notes).
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "build_turns_per_sec": ..., "q_p50_ms": ..., "q_p99_ms": ...,
+   "match_rate": ..., ...}
+
+The headline phases mirror BASELINE.json's metric: persisted-index build
+throughput (turns/sec), per-query batch latency p50/p99 over the reference
+query set, and the rank-identical top-k match rate vs the DuckDB BM25
+oracle.  The DF-native engine path is timed alongside for comparison.
+
+``--scaling`` is the sandbox stand-in for the N vs 4N executor criterion:
+the SAME deterministic synthetic transcript corpus (corpus.generate_spark,
+seeded — no external data) is built + batch-queried at local[8] and
+local[32]; throughput at both levels and the scaling efficiency
+(speedup / cpu-ratio, target ≥ 0.8) are printed and written to BENCH.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+TOPK = 10
 
-BENCH_QUERIES = {
+#: reference query set over the documents vocabulary (driver testdata).
+DOC_QUERIES = {
     "q_head": "the fast scan",
     "q_mix": "merge window customer batch",
     "q_rare": "vector stream spark",
     "q_long": "join filter group sort table row data merge batch window",
+    "q_pair1": "slow hash value",
+    "q_pair2": "customer part order",
+    "q_pair3": "small filter line",
+    "q_pair4": "query row data",
+    "q_pair5": "key order sort",
+    "q_pair6": "table scan merge",
+    "q_pair7": "group batch value",
+    "q_pair8": "window small hash",
+    "q_one1": "spark",
+    "q_one2": "vector",
+    "q_one3": "customer",
+    "q_one4": "window",
+}
+
+#: query set over the synthetic transcript vocabulary (scaling mode).
+SYN_QUERIES = {
+    "s_head": "the and of to",
+    "s_mid1": "w0003 w0010 w0027",
+    "s_mid2": "w0001 w0042 w0100",
+    "s_rare1": "w0500 w1200",
+    "s_rare2": "w2500 w3000 w0900",
+    "s_needle1": "needle3",
+    "s_needle2": "needle7",
+    "s_mix1": "the w0005 w0300",
+    "s_mix2": "is w0050 w0700 w1500",
+    "s_long": "the of w0002 w0008 w0020 w0075 w0150 w0400",
+    "s_one1": "w0033",
+    "s_one2": "w0250",
 }
 
 
@@ -39,66 +82,242 @@ def make_spark(cpus: str, app: str = "search-spark-bench"):
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
 
 
-def run_workload(spark, sf_dir: str) -> dict:
-    from pyspark.sql import functions as F
+def _pctl(xs: list[float], p: float) -> float:
+    xs = sorted(xs)
+    i = min(len(xs) - 1, max(0, round(p * (len(xs) - 1))))
+    return xs[i]
+
+
+def build_wand_index(spark, transcripts, workdir: str, n_units: int = 4):
+    """Build the persisted block-max index; returns (reader, n_docs, seconds)."""
+    from search_spark.operators.indexer import build_index
+    from search_spark.operators.wand import IndexReader
+    from search_spark.sources.index_store import IndexStore
+
+    store = IndexStore(workdir, doc_bucket_size=4096, term_buckets=16)
+    t0 = time.perf_counter()
+    build_index(spark, transcripts, store, n_units=n_units)
+    secs = time.perf_counter() - t0
+    reader = IndexReader(spark, store)
+    return reader, int(reader.stats["n_docs"]), secs
+
+
+def query_phase(reader, queries: dict[str, str], k: int = TOPK):
+    """Per-query timed batch_search; returns (times, results, batch_secs).
+
+    One untimed warmup first: the initial query pays JVM codegen + Python
+    worker spin-up, which is session state, not per-query cost."""
+    reader.batch_search([("warmup", next(iter(queries.values())))], k).collect()
+    times: dict[str, float] = {}
+    results: dict[str, list] = {}
+    for name, text in queries.items():
+        t0 = time.perf_counter()
+        rows = reader.batch_search([(name, text)], k).collect()
+        times[name] = time.perf_counter() - t0
+        results[name] = [(r["doc_id"], r["score"]) for r in rows]
+    t0 = time.perf_counter()
+    n_batch = reader.batch_search(list(queries.items()), k).count()
+    batch_secs = time.perf_counter() - t0
+    return times, results, batch_secs
+
+
+def oracle_match_rate(results: dict[str, list], queries: dict[str, str], sf_dir: str) -> float:
+    """Rank-identical (doc_id, score_micro) match vs the DuckDB BM25 oracle."""
+    import duckdb
+
+    from search_spark.oracle_sql import bm25_topk_sql, transcripts_docs_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    docs_sql = transcripts_docs_sql()
+    matched = 0
+    for name, text in queries.items():
+        want = [
+            (r[0], r[2])
+            for r in con.execute(bm25_topk_sql(text, TOPK, docs_sql=docs_sql)).fetchall()
+        ]
+        got = [(d, round(s * 1e6)) for d, s in results[name]]
+        if got == want:
+            matched += 1
+    return matched / len(queries)
+
+
+def run_default(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F  # noqa: F401
 
     from search_spark.analyzer import tokenize
+    from search_spark.corpus import transcripts_from_documents
     from search_spark.operators.build import build_df_index, search_topk_df
 
-    times: dict[str, float] = {}
-    t0 = time.perf_counter()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    idx = build_df_index(docs, assign_ids=False)
-    idx.postings.persist()
-    idx.doclens.persist()
-    idx.dictionary.persist()
-    n_postings = idx.postings.count()
-    times["build"] = time.perf_counter() - t0
+    out: dict = {}
+    workdir = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        tr = transcripts_from_documents(spark, sf_dir)
+        reader, n_docs, build_s = build_wand_index(spark, tr, workdir)
+        out["build"] = round(build_s, 4)
+        out["_n_docs"] = n_docs
+        out["_build_tps"] = round(n_docs / build_s, 1)
 
-    for name, qtext in BENCH_QUERIES.items():
+        qt, results, batch_s = query_phase(reader, DOC_QUERIES)
+        out.update({k: round(v, 4) for k, v in qt.items()})
+        out["batch_all"] = round(batch_s, 4)
+        lat = list(qt.values())
+        out["_p50_ms"] = round(_pctl(lat, 0.50) * 1e3, 1)
+        out["_p99_ms"] = round(_pctl(lat, 0.99) * 1e3, 1)
+        out["_match_rate"] = oracle_match_rate(results, DOC_QUERIES, sf_dir)
+
+        # DF-native comparison path (the declarative slice)
         t0 = time.perf_counter()
-        res = search_topk_df(idx, tokenize(qtext), 10).collect()
-        times[name] = time.perf_counter() - t0
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        idx = build_df_index(docs, assign_ids=False)
+        idx.postings.persist().count()
+        out["dfnative_build"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        for text in list(DOC_QUERIES.values())[:4]:
+            search_topk_df(idx, tokenize(text), TOPK).collect()
+        out["dfnative_q4"] = round(time.perf_counter() - t0, 4)
+        idx.postings.unpersist()
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    return out
 
-    idx.postings.unpersist()
-    idx.doclens.unpersist()
-    idx.dictionary.unpersist()
-    times["_n_postings"] = n_postings
-    times["_n_docs"] = idx.n_docs
-    return times
 
-
-def main() -> None:
+def main_default() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = make_spark(CPUS)
     try:
-        times = run_workload(spark, SF_DIR)
+        times = run_default(spark, SF_DIR)
     finally:
         spark.stop()
-    qtimes = {k: round(v, 4) for k, v in times.items() if not k.startswith("_")}
+    qtimes = {k: v for k, v in times.items() if not k.startswith("_")}
     total = round(sum(qtimes.values()), 4)
     print(
         json.dumps(
             {
-                "metric": "bm25_build_plus_batch_query_wall",
+                "metric": "wand_index_build_plus_batch_bm25_query_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_docs": times["_n_docs"],
-                "n_postings": times["_n_postings"],
+                "build_turns_per_sec": times["_build_tps"],
+                "q_p50_ms": times["_p50_ms"],
+                "q_p99_ms": times["_p99_ms"],
+                "match_rate": times["_match_rate"],
                 "cpus": int(CPUS),
             }
         )
     )
 
 
+# ---------------------------------------------------------------------------
+# --scaling: N vs 4N cores over the same synthetic corpus
+# ---------------------------------------------------------------------------
+
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "30000"))
+SCALE_LEVELS = (8, 32)
+QUERY_REPS = 3
+
+
+def run_level(cpus: int, corpus_path: str) -> dict:
+    spark = make_spark(str(cpus), app=f"bench-scaling-{cpus}")
+    workdir = tempfile.mkdtemp(prefix=f"bench_scale_{cpus}_")
+    try:
+        tr = spark.read.parquet(corpus_path)
+        reader, n_docs, build_s = build_wand_index(spark, tr, workdir, n_units=8)
+        # batch-query phase: all queries in one job, repeated (untimed warmup
+        # first — JVM codegen + Python worker spin-up is session, not query, cost)
+        reader.batch_search([("warmup", "the w0001")], TOPK).count()
+        t0 = time.perf_counter()
+        for _ in range(QUERY_REPS):
+            reader.batch_search(list(SYN_QUERIES.items()), TOPK).count()
+        query_s = time.perf_counter() - t0
+        nq = QUERY_REPS * len(SYN_QUERIES)
+        return {
+            "cpus": cpus,
+            "n_docs": n_docs,
+            "build_secs": round(build_s, 2),
+            "build_turns_per_sec": round(n_docs / build_s, 1),
+            "query_secs": round(query_s, 2),
+            "queries_per_sec": round(nq / query_s, 2),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+def main_scaling() -> None:
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+    corpus_path = os.path.join(corpus_dir, "transcripts.parquet")
+    try:
+        gen = make_spark("32", app="bench-gen")
+        try:
+            from search_spark.corpus import generate_spark
+
+            generate_spark(gen, SCALE_CONVS, partitions=64).write.mode("overwrite").parquet(
+                corpus_path
+            )
+        finally:
+            gen.stop()
+
+        levels = [run_level(c, corpus_path) for c in SCALE_LEVELS]
+        lo, hi = levels[0], levels[-1]
+        ratio = hi["cpus"] / lo["cpus"]
+        eff_build = (hi["build_turns_per_sec"] / lo["build_turns_per_sec"]) / ratio
+        eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / ratio
+        report = {
+            "metric": "scaling_efficiency_Nx4N",
+            "value": round(min(eff_build, eff_query), 3),
+            "unit": "efficiency",
+            "corpus_convs": SCALE_CONVS,
+            "levels": levels,
+            "efficiency_build": round(eff_build, 3),
+            "efficiency_query": round(eff_query, 3),
+        }
+        print(json.dumps(report))
+        _write_bench_md(report)
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+
+def _write_bench_md(r: dict) -> None:
+    lo, hi = r["levels"][0], r["levels"][-1]
+    md = f"""# BENCH — scaling evidence (N vs 4N cores)
+
+Stand-in for the north_rule's N vs 4N *executors* criterion (no multi-node
+cluster in this sandbox, per task instructions): the same deterministic
+synthetic transcript corpus ({r["corpus_convs"]:,} conversations,
+{lo["n_docs"]:,} turns; `search_spark.corpus.generate_spark`, seed=42) is
+index-built and batch-queried at `local[{lo["cpus"]}]` and
+`local[{hi["cpus"]}]`.
+
+| phase | local[{lo["cpus"]}] | local[{hi["cpus"]}] | speedup | efficiency (target ≥ 0.8) |
+|---|---|---|---|---|
+| index build (turns/sec) | {lo["build_turns_per_sec"]:,} | {hi["build_turns_per_sec"]:,} | {hi["build_turns_per_sec"] / lo["build_turns_per_sec"]:.2f}× | **{r["efficiency_build"]:.3f}** |
+| batch query (queries/sec) | {lo["queries_per_sec"]} | {hi["queries_per_sec"]} | {hi["queries_per_sec"] / lo["queries_per_sec"]:.2f}× | **{r["efficiency_query"]:.3f}** |
+
+Raw: build {lo["build_secs"]}s vs {hi["build_secs"]}s; query batch
+({QUERY_REPS}×{len(SYN_QUERIES)} queries) {lo["query_secs"]}s vs
+{hi["query_secs"]}s.
+
+Regenerate with `python bench.py --scaling`
+(`SPARK_GRAFT_SCALE_CONVS` overrides corpus size).
+"""
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write(md)
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_default()

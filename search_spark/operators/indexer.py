@@ -169,6 +169,12 @@ def finalize(spark: SparkSession, store: IndexStore) -> dict:
             F.max("block_max_raw").alias("max_raw"),
         )
         .withColumn("idf", idf_col(F.lit(stats["n_docs"]), F.col("df")))
+        # query-side needs the term's partition; storing it here makes the
+        # dictionary lookup the ONLY pre-scan job per query batch
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int"),
+        )
     )
     dictionary.write.mode("overwrite").parquet(store.dictionary_path)
 

@@ -259,36 +259,31 @@ class IndexReader:
         m = store.manifest()
         self.term_buckets = m["term_buckets"]
 
-    def _dictionary_rows(self, terms: list[str]) -> dict[str, float]:
+    def _dictionary_rows(self, terms: list[str]) -> dict[str, tuple[float, int]]:
+        """term → (idf, term_bucket) in ONE job (the bucket is persisted in
+        the dictionary at finalize, so no per-term expression evals)."""
         if not terms:
             return {}
         rows = (
             self.spark.read.parquet(self.store.dictionary_path)
             .filter(F.col("term").isin(terms))
-            .select("term", "idf")
+            .select("term", "idf", "term_bucket")
             .collect()
         )
-        return {r["term"]: float(r["idf"]) for r in rows}
+        return {r["term"]: (float(r["idf"]), int(r["term_bucket"])) for r in rows}
 
-    def candidate_blocks(self, terms: list[str]) -> DataFrame:
+    def candidate_blocks(self, terms: list[str], buckets: list[int] | None = None) -> DataFrame:
         """Scan only the term_bucket partitions + terms of the query:
         partition pruning on the directory column, then predicate pushdown
-        on ``term`` into the parquet row groups."""
-        buckets = sorted({self._term_bucket(t) for t in terms})
+        on ``term`` into the parquet row groups.  ``buckets=None`` skips the
+        partition prune (term predicate still pushes down)."""
         posts = self.spark.read.option("basePath", self.store.postings_path()).parquet(
             self.store.postings_path()
         )
-        return posts.filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-        )
-
-    def _term_bucket(self, term: str) -> int:
-        # mirror of F.pmod(F.xxhash64(term), term_buckets) — computed once on
-        # the driver per query term via a tiny Spark expression eval
-        row = self.spark.range(1).select(
-            F.pmod(F.xxhash64(F.lit(term)), F.lit(self.term_buckets)).cast("int").alias("b")
-        ).collect()[0]
-        return int(row["b"])
+        pred = F.col("term").isin(terms)
+        if buckets is not None:
+            pred = F.col("term_bucket").isin(sorted(set(buckets))) & pred
+        return posts.filter(pred)
 
     def batch_search(self, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
         """Batch top-k: queries = [(query_id, query_text)].
@@ -304,21 +299,21 @@ class IndexReader:
             )
         qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
         all_terms = sorted({t for ts in qterms.values() for t in ts})
-        idf_map = self._dictionary_rows(all_terms)
-        live_terms = [t for t in all_terms if t in idf_map]
+        dict_rows = self._dictionary_rows(all_terms)
+        live_terms = [t for t in all_terms if t in dict_rows]
 
-        pairs = [(qid, t) for qid, ts in qterms.items() for t in ts if t in idf_map]
+        pairs = [(qid, t) for qid, ts in qterms.items() for t in ts if t in dict_rows]
         if not pairs:
             return self.spark.createDataFrame(
                 [], "query_id string, rank int, doc_id bigint, score double"
             )
         qdf = self.spark.createDataFrame(pairs, "query_id string, term string")
 
-        blocks = self.candidate_blocks(live_terms)
+        blocks = self.candidate_blocks(live_terms, [b for _, b in dict_rows.values()])
         joined = blocks.join(F.broadcast(qdf), "term")
 
         avgdl = float(self.stats["avgdl"])
-        idf_b = dict(idf_map)
+        idf_b = {t: idf for t, (idf, _) in dict_rows.items()}
 
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             qid = pdf["query_id"].iloc[0]

@@ -1,0 +1,94 @@
+"""Deployment surfaces: Iceberg adapter probe/fallback, --py-files
+packaging, and the spark-submit entry points run end-to-end locally."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_iceberg_probe_and_fallback(spark):
+    from search_spark.sources.iceberg import (
+        IcebergIndexCatalog,
+        iceberg_available,
+        session_builder_conf,
+    )
+
+    # sandbox has no Iceberg jar: probe must be False, ctor must refuse
+    assert iceberg_available(spark) is False
+    with pytest.raises(RuntimeError, match="IndexStore"):
+        IcebergIndexCatalog(spark)
+    conf = session_builder_conf("/tmp/wh")
+    assert conf["spark.sql.catalog.idx.type"] == "hadoop"
+    assert "spark.sql.extensions" in conf
+
+
+def test_package_pyfiles(tmp_path):
+    out = tmp_path / "search_spark.zip"
+    res = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", "package_pyfiles.sh"), str(out)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr
+    names = zipfile.ZipFile(out).namelist()
+    assert "search_spark/__init__.py" in names
+    assert "search_spark/operators/wand.py" in names
+    assert not any("__pycache__" in n for n in names)
+
+
+def test_submit_build_then_query(tmp_path):
+    """The actual cluster entry points, driven as subprocesses (local master):
+    build from the documents-derived transcripts, then query the store."""
+    store = str(tmp_path / "idx")
+    env = {**os.environ, "PYTHONPATH": REPO}
+    build = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "submit_build.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--derive-transcripts",
+            "--store", store,
+            "--units", "2",
+            "--doc-bucket-size", "1024",
+            "--term-buckets", "4",
+            "--master", "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert build.returncode == 0, build.stderr[-2000:]
+    result = json.loads(build.stdout.strip().splitlines()[-1])
+    assert result["n_postings"] > 0 and result["vocab"] > 0
+
+    query = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "submit_query.py"),
+            "--store", store,
+            "--query", "the fast scan",
+            "--query", "merge window customer batch",
+            "-k", "5",
+            "--out", str(tmp_path / "res.parquet"),
+            "--master", "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert query.returncode == 0, query.stderr[-2000:]
+    import duckdb
+
+    n = duckdb.sql(f"select count(*) from '{tmp_path}/res.parquet/*.parquet'").fetchone()[0]
+    assert n == 10  # 2 queries × k=5
