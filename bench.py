@@ -228,18 +228,26 @@ SCALE_LEVELS = (8, 32)
 QUERY_REPS = 3
 
 
+def _mark(msg: str) -> None:
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
 def run_level(cpus: int, corpus_path: str) -> dict:
     spark = make_spark(str(cpus), app=f"bench-scaling-{cpus}")
     workdir = tempfile.mkdtemp(prefix=f"bench_scale_{cpus}_")
     try:
+        _mark(f"level {cpus}: build start")
         tr = spark.read.parquet(corpus_path)
         reader, n_docs, build_s = build_wand_index(spark, tr, workdir, n_units=8)
+        _mark(f"level {cpus}: build done {n_docs} docs in {build_s:.1f}s; query start")
         # batch-query phase: all queries in one job, repeated (untimed warmup
         # first — JVM codegen + Python worker spin-up is session, not query, cost)
         reader.batch_search([("warmup", "the w0001")], TOPK).count()
+        _mark(f"level {cpus}: warmup done")
         t0 = time.perf_counter()
-        for _ in range(QUERY_REPS):
+        for rep in range(QUERY_REPS):
             reader.batch_search(list(SYN_QUERIES.items()), TOPK).count()
+            _mark(f"level {cpus}: query rep {rep} done")
         query_s = time.perf_counter() - t0
         nq = QUERY_REPS * len(SYN_QUERIES)
         return {
@@ -263,9 +271,11 @@ def main_scaling() -> None:
         try:
             from search_spark.corpus import generate_spark
 
+            _mark(f"generating {SCALE_CONVS} convs")
             generate_spark(gen, SCALE_CONVS, partitions=64).write.mode("overwrite").parquet(
                 corpus_path
             )
+            _mark("corpus written")
         finally:
             gen.stop()
 

@@ -94,26 +94,108 @@ def stage_docs(spark: SparkSession, transcripts: DataFrame, store: IndexStore, n
     return stats
 
 
-def _encode_group(avgdl: float):
-    """applyInPandas encoder for one (term, doc_bucket) posting run."""
+TF_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+        T.StructField("doc_bucket", T.IntegerType(), False),
+    ]
+)
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["doc_bucket"].iloc[0])
-        blocks = codec.make_blocks(
-            pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["dl"].to_numpy(), avgdl
+
+def _tf_batches(batches):
+    """mapInPandas: (doc_id, doc_bucket, text) → (term, doc_id, tf, dl, ...).
+
+    A document's tokens live entirely in its own row, so term frequencies
+    are computed LOCALLY per Arrow batch (one vectorized pandas groupby) —
+    no explode shuffle at all.  The only wide stage left in P1 is the
+    (term, doc_bucket) repartition of these pre-aggregated triples.
+    """
+    import numpy as np
+
+    from ..analyzer import tokenize_pandas
+
+    for pdf in batches:
+        toks = tokenize_pandas(pdf["text"])
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            continue
+        flat = pd.DataFrame(
+            {
+                "term": np.concatenate([np.asarray(t, dtype=object) for t in toks]),
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(), lens),
+                "dl": np.repeat(lens, lens),
+                "doc_bucket": np.repeat(pdf["doc_bucket"].to_numpy(), lens),
+            }
         )
-        out = pd.DataFrame(blocks)
-        out.insert(0, "term", term)
-        out.insert(1, "doc_bucket", bucket)
-        return out
+        out = (
+            flat.groupby(["term", "doc_id"], sort=False)
+            .agg(tf=("dl", "size"), dl=("dl", "first"), doc_bucket=("doc_bucket", "first"))
+            .reset_index()
+        )
+        out["tf"] = out["tf"].astype("int32")
+        out["dl"] = out["dl"].astype("int32")
+        out["doc_bucket"] = out["doc_bucket"].astype("int32")
+        yield out[["term", "doc_id", "tf", "dl", "doc_bucket"]]
+
+
+def _encode_partition(avgdl: float):
+    """mapInPandas encoder over a hash-partitioned, sorted tf stream.
+
+    Input partitions are hash-partitioned by (term, doc_bucket) and sorted
+    by (term, doc_bucket, doc_id), so each run is contiguous — but an Arrow
+    batch may SPLIT a run, so the trailing run of every batch is carried
+    into the next.  Run boundaries are found vectorized (numpy change
+    detection), not via per-group pandas machinery: encoding cost is
+    O(postings) numpy work + one small make_blocks call per run.
+    """
+    import numpy as np
+
+    def encode(batches):
+        carry: pd.DataFrame | None = None
+
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            terms = pdf["term"].to_numpy()
+            buckets = pdf["doc_bucket"].to_numpy()
+            doc_ids = pdf["doc_id"].to_numpy()
+            tfs = pdf["tf"].to_numpy()
+            dls = pdf["dl"].to_numpy()
+            change = np.flatnonzero((terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1]))
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(pdf)]))
+            rows = []
+            for s, e in zip(starts, ends):
+                for blk in codec.make_blocks(doc_ids[s:e], tfs[s:e], dls[s:e], avgdl):
+                    blk["term"] = terms[s]
+                    blk["doc_bucket"] = int(buckets[s])
+                    rows.append(blk)
+            return pd.DataFrame(rows)[[f.name for f in POSTING_SCHEMA.fields]]
+
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            lt = pdf["term"].iloc[-1]
+            lb = pdf["doc_bucket"].iloc[-1]
+            tail_first = int(
+                np.argmax((pdf["term"].to_numpy() == lt) & (pdf["doc_bucket"].to_numpy() == lb))
+            )
+            carry = pdf.iloc[tail_first:]
+            head = pdf.iloc[:tail_first]
+            if len(head):
+                yield emit(head)
+        if carry is not None and len(carry):
+            yield emit(carry)
 
     return encode
 
 
 def build_unit(spark: SparkSession, store: IndexStore, unit: int, avgdl: float) -> dict:
-    """P1 for one unit: docs → encoded posting blocks → parquet + checkpoint."""
+    """P1 for one unit: docs → local tf → one (term, doc_bucket) shuffle →
+    sorted vectorized block encode → parquet + checkpoint."""
     t0 = time.perf_counter()
     import os
 
@@ -123,19 +205,15 @@ def build_unit(spark: SparkSession, store: IndexStore, unit: int, avgdl: float) 
         store.mark_unit_done(unit, info)
         return info
     docs = spark.read.parquet(store.docs_path(unit)).select("doc_id", "doc_bucket", "text")
-    postings_flat = (
-        docs.withColumn("tokens", tokens_col("text"))
-        .withColumn("dl", F.size("tokens"))
-        .select("doc_id", "doc_bucket", "dl", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(
-            F.count("*").cast("int").alias("tf"),
-            F.first("dl").alias("dl"),
-            F.first("doc_bucket").alias("doc_bucket"),
-        )
-    )
-    encoded = postings_flat.groupBy("term", "doc_bucket").applyInPandas(
-        _encode_group(avgdl), schema=POSTING_SCHEMA
+    tf_local = docs.mapInPandas(_tf_batches, schema=TF_SCHEMA)
+    # explicit partition count: AQE would coalesce this small-at-test-scale
+    # exchange to one task and serialize the encode; at 10^12 scale the same
+    # expression sizes the shuffle to the cluster
+    n_enc = max(2, spark.sparkContext.defaultParallelism // 2)
+    encoded = (
+        tf_local.repartition(n_enc, "term", "doc_bucket")
+        .sortWithinPartitions("term", "doc_bucket", "doc_id")
+        .mapInPandas(_encode_partition(avgdl), schema=POSTING_SCHEMA)
     )
     encoded = encoded.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")
@@ -216,11 +294,19 @@ def build_index(
     store: IndexStore,
     n_units: int = 1,
     fail_after_units: int | None = None,
+    unit_parallelism: int = 4,
 ) -> dict:
     """Full resumable build.  Re-running after an interruption (or with
     ``fail_after_units`` set, the test hook that simulates one) skips every
     completed phase/unit via the checkpoint ledger and produces an index
     byte-identical in content to an uninterrupted build (tests/test_resume.py).
+
+    Unit jobs are submitted from ``unit_parallelism`` driver threads —
+    concurrent Spark jobs keep the scheduler saturated when any single
+    unit's stages can't fill the cluster (small units, stragglers, the tail
+    of the build).  Units stay independent atomic checkpoints either way.
+    ``fail_after_units`` forces the sequential path so the failure point is
+    deterministic.
     """
     store.init()
     cp = store.checkpoints()
@@ -232,10 +318,20 @@ def build_index(
 
     done = store.completed_units()
     pending = [u for u in range(n_units) if u not in done]
-    built = 0
-    for u in pending:
-        if fail_after_units is not None and built >= fail_after_units:
-            raise RuntimeError(f"simulated failure after {built} units")
-        build_unit(spark, store, u, stats["avgdl"])
-        built += 1
+    if fail_after_units is not None or unit_parallelism <= 1:
+        built = 0
+        for u in pending:
+            if fail_after_units is not None and built >= fail_after_units:
+                raise RuntimeError(f"simulated failure after {built} units")
+            build_unit(spark, store, u, stats["avgdl"])
+            built += 1
+    elif pending:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(unit_parallelism, len(pending))) as ex:
+            futures = [
+                ex.submit(build_unit, spark, store, u, stats["avgdl"]) for u in pending
+            ]
+            for f in futures:
+                f.result()  # propagate the first failure
     return finalize(spark, store)

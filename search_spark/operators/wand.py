@@ -233,6 +233,68 @@ def wand_topk(
     return out, counters
 
 
+#: posting-count dispatch threshold between the two exact scorers
+WAND_MAX_POSTINGS = 1024
+
+
+def dense_topk(
+    blocks_by_term: dict[str, pd.DataFrame],
+    qidf: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Exact top-k over one doc range via dense vectorized accumulation —
+    the numpy "SIMD path" of the scorer pair (the reference keeps the same
+    pair: AVX kernel + scalar reference, cross-checked —
+    /root/reference/internal/cosine/simd/simd.go:33-44, simd_test.go:52-74).
+
+    Per-posting Python stepping (wand_topk) costs ~µs/posting; on Zipf-head
+    query terms a doc range is dense and block-max pruning cannot skip, so
+    the per-group work degenerates to a full merge — this path does that
+    merge as numpy array ops: decode every candidate block, accumulate
+    per-doc scores term-by-term in ASCENDING TERM ORDER into a float64
+    array (bit-identical summation order to the oracle and to wand_topk),
+    then select top-k under (score DESC, doc_id ASC).
+
+    Used for groups with > WAND_MAX_POSTINGS candidate postings; wand_topk
+    (posting-level block-max WAND) serves sparse groups where skipping
+    wins.  Equality of the two scorers is property-tested.
+    """
+    if k <= 0:
+        return []
+    terms = sorted(blocks_by_term)
+    # local dense index over the group's doc range
+    lo = min(int(blocks_by_term[t]["first_doc"].min()) for t in terms)
+    hi = max(int(blocks_by_term[t]["last_doc"].max()) for t in terms)
+    width = hi - lo + 1
+    scores = np.zeros(width, dtype=np.float64)
+    seen = np.zeros(width, dtype=bool)
+    for term in terms:  # ascending — pins the float summation order
+        idf = qidf[term]
+        blk = blocks_by_term[term]
+        for ids_b, tfs_b, dls_b, n, first in zip(
+            blk["doc_ids_delta"], blk["tfs"], blk["dls"], blk["n_docs"], blk["first_doc"]
+        ):
+            n = int(n)
+            docs = codec.decode_doc_ids(ids_b, int(first), n)
+            tf = codec.decode_tfs(tfs_b, n).astype(np.float64)
+            dl = codec.varint_decode(dls_b)[:n].astype(np.float64)
+            contrib = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            idx = docs - lo
+            scores[idx] += contrib  # unique docs per term: plain fancy-index add
+            seen[idx] = True
+    cand = np.flatnonzero(seen)
+    if cand.shape[0] > k:
+        # kth-largest score via partial select; keep everything at/above it
+        # (boundary ties included) so the exact (score DESC, doc_id ASC)
+        # sort below decides the final k
+        kth = -np.partition(-scores[cand], k - 1)[k - 1]
+        cand = cand[scores[cand] >= kth]
+    order = np.lexsort((cand + lo, -scores[cand]))[:k]
+    chosen = cand[order]
+    return [(int(d + lo), float(scores[d])) for d in chosen]
+
+
 # ---------------------------------------------------------------------------
 # Spark query pipeline over an IndexStore
 # ---------------------------------------------------------------------------
@@ -258,6 +320,14 @@ class IndexReader:
         self.stats = store.stats()
         m = store.manifest()
         self.term_buckets = m["term_buckets"]
+        # Reuse one DataFrame per table across queries: Spark caches the
+        # file listing in the DF's FileIndex, so repeated queries skip the
+        # directory walk (the reference pays its load cost once too —
+        # /root/reference/example/main.go:59-65).
+        self._dict_df = spark.read.parquet(store.dictionary_path)
+        self._posts_df = spark.read.option("basePath", store.postings_path()).parquet(
+            store.postings_path()
+        )
 
     def _dictionary_rows(self, terms: list[str]) -> dict[str, tuple[float, int]]:
         """term → (idf, term_bucket) in ONE job (the bucket is persisted in
@@ -265,8 +335,7 @@ class IndexReader:
         if not terms:
             return {}
         rows = (
-            self.spark.read.parquet(self.store.dictionary_path)
-            .filter(F.col("term").isin(terms))
+            self._dict_df.filter(F.col("term").isin(terms))
             .select("term", "idf", "term_bucket")
             .collect()
         )
@@ -277,9 +346,7 @@ class IndexReader:
         partition pruning on the directory column, then predicate pushdown
         on ``term`` into the parquet row groups.  ``buckets=None`` skips the
         partition prune (term predicate still pushes down)."""
-        posts = self.spark.read.option("basePath", self.store.postings_path()).parquet(
-            self.store.postings_path()
-        )
+        posts = self._posts_df
         pred = F.col("term").isin(terms)
         if buckets is not None:
             pred = F.col("term_bucket").isin(sorted(set(buckets))) & pred
@@ -318,15 +385,29 @@ class IndexReader:
         def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
             qid = pdf["query_id"].iloc[0]
             by_term = {t: g for t, g in pdf.groupby("term")}
-            top, _ = wand_topk(by_term, idf_b, avgdl, k)
+            # scorer dispatch: posting-level block-max WAND where skipping
+            # can win (sparse groups), vectorized dense accumulation where
+            # the range is dense and per-posting Python would crawl.  Both
+            # are exact and bit-identical (property-tested).
+            if int(pdf["n_docs"].sum()) <= WAND_MAX_POSTINGS:
+                top, _ = wand_topk(by_term, idf_b, avgdl, k)
+            else:
+                top = dense_topk(by_term, idf_b, avgdl, k)
             if not top:
                 return pd.DataFrame(columns=["query_id", "doc_id", "score"])
             out = pd.DataFrame(top, columns=["doc_id", "score"])
             out.insert(0, "query_id", qid)
             return out
 
-        local = joined.groupBy("query_id", "doc_bucket").applyInPandas(
-            score_group, schema=RESULT_SCHEMA
+        # explicit partition count: the scorer's cost is Python-per-posting,
+        # not bytes — AQE's byte-based coalescing would serialize it onto
+        # one task at small scale.  Hash layout matches the grouping keys,
+        # so groupBy below adds no second exchange.
+        n_score = self.spark.sparkContext.defaultParallelism
+        local = (
+            joined.repartition(n_score, "query_id", "doc_bucket")
+            .groupBy("query_id", "doc_bucket")
+            .applyInPandas(score_group, schema=RESULT_SCHEMA)
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (

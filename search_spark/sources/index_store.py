@@ -33,9 +33,13 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any
+
+#: serializes checkpoint-ledger writes across concurrent unit-builder threads
+_CP_LOCK = threading.Lock()
 
 from .. import FORMAT_VERSION
 from ..analyzer import ANALYZER_VERSION
@@ -157,9 +161,12 @@ class IndexStore:
         _write_json_atomic(self.checkpoints_path, cp)
 
     def mark_unit_done(self, unit: int, info: dict) -> None:
-        cp = self.checkpoints()
-        cp["units"][str(unit)] = {"status": "done", **info}
-        _write_json_atomic(self.checkpoints_path, cp)
+        # units may complete from concurrent driver threads (indexer runs
+        # unit jobs in a pool); serialize the read-modify-write
+        with _CP_LOCK:
+            cp = self.checkpoints()
+            cp["units"][str(unit)] = {"status": "done", **info}
+            _write_json_atomic(self.checkpoints_path, cp)
 
     def completed_units(self) -> set[int]:
         cp = self.checkpoints()
