@@ -266,6 +266,17 @@ def _q_frame_sample(spark, sf_dir):
     return md.frame_sample(md.attach_payload(_docs(spark, sf_dir)))
 
 
+def _q_bm25_rehydrated(spark, sf_dir):
+    """Top-k + payload text: the reference returns the stored Value with
+    each result (/root/reference/index.go:20-24); relational analogue is the
+    doc_id → documents join after ranking."""
+    topk = _bm25_topk(spark, sf_dir, Q_MIX)
+    docs = _docs(spark, sf_dir)
+    return topk.join(docs, "doc_id", "inner").select(
+        "doc_id", "rank", "score_micro", "text"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk_head": _q_bm25_head,
@@ -293,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": _q_fingerprints,
         "media_metadata": _q_media_meta,
         "media_frame_sample": _q_frame_sample,
+        "bm25_topk_rehydrated": _q_bm25_rehydrated,
     }
 
 
@@ -325,4 +337,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": osp.fingerprints_sql(),
         "media_metadata": osp.media_metadata_sql(),
         "media_frame_sample": osp.frame_sample_sql(),
+        "bm25_topk_rehydrated": f"""
+WITH topk AS ({osql.bm25_topk_sql(Q_MIX, _TOPK)})
+SELECT topk.doc_id, topk.rank, topk.score_micro, documents.text
+FROM topk JOIN documents ON documents.doc_id = topk.doc_id""",
     }

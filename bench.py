@@ -95,7 +95,7 @@ def _pctl(xs: list[float], p: float) -> float:
     return xs[i]
 
 
-def build_wand_index(spark, transcripts, workdir: str, n_units: int = 4):
+def build_wand_index(spark, transcripts, workdir: str, n_units: int = 4, unit_parallelism: int = 4):
     """Build the persisted block-max index; returns (reader, n_docs, seconds)."""
     from search_spark.operators.indexer import build_index
     from search_spark.operators.wand import IndexReader
@@ -103,7 +103,7 @@ def build_wand_index(spark, transcripts, workdir: str, n_units: int = 4):
 
     store = IndexStore(workdir, doc_bucket_size=4096, term_buckets=16)
     t0 = time.perf_counter()
-    build_index(spark, transcripts, store, n_units=n_units)
+    build_index(spark, transcripts, store, n_units=n_units, unit_parallelism=unit_parallelism)
     secs = time.perf_counter() - t0
     reader = IndexReader(spark, store)
     return reader, int(reader.stats["n_docs"]), secs
@@ -223,7 +223,7 @@ def main_default() -> None:
 # --scaling: N vs 4N cores over the same synthetic corpus
 # ---------------------------------------------------------------------------
 
-SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "30000"))
+SCALE_CONVS = int(os.environ.get("SPARK_GRAFT_SCALE_CONVS", "200000"))
 SCALE_LEVELS = (8, 32)
 QUERY_REPS = 3
 
@@ -238,7 +238,7 @@ def run_level(cpus: int, corpus_path: str) -> dict:
     try:
         _mark(f"level {cpus}: build start")
         tr = spark.read.parquet(corpus_path)
-        reader, n_docs, build_s = build_wand_index(spark, tr, workdir, n_units=8)
+        reader, n_docs, build_s = build_wand_index(spark, tr, workdir, n_units=8, unit_parallelism=8)
         _mark(f"level {cpus}: build done {n_docs} docs in {build_s:.1f}s; query start")
         # batch-query phase: all queries in one job, repeated (untimed warmup
         # first — JVM codegen + Python worker spin-up is session, not query, cost)
@@ -263,6 +263,29 @@ def run_level(cpus: int, corpus_path: str) -> dict:
         spark.stop()
 
 
+
+def _run_level_subprocess(cpus: int, corpus_path: str) -> dict:
+    """One level per fresh process: each parallelism level gets its own JVM
+    (no cross-level codegen caches, GC state, or leftover worker daemons —
+    the in-process variant measurably contaminated the second level)."""
+    import subprocess
+
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-level", str(cpus), corpus_path],
+        capture_output=True,
+        text=True,
+        timeout=2400,
+    )
+    sys.stderr.write(res.stderr[-4000:])
+    if res.returncode != 0:
+        raise RuntimeError(f"level {cpus} failed:\n{res.stderr[-2000:]}")
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def main_scaling_level(cpus: int, corpus_path: str) -> None:
+    print(json.dumps(run_level(cpus, corpus_path)))
+
+
 def main_scaling() -> None:
     corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
     corpus_path = os.path.join(corpus_dir, "transcripts.parquet")
@@ -272,14 +295,14 @@ def main_scaling() -> None:
             from search_spark.corpus import generate_spark
 
             _mark(f"generating {SCALE_CONVS} convs")
-            generate_spark(gen, SCALE_CONVS, partitions=64).write.mode("overwrite").parquet(
+            generate_spark(gen, SCALE_CONVS, partitions=128).write.mode("overwrite").parquet(
                 corpus_path
             )
             _mark("corpus written")
         finally:
             gen.stop()
 
-        levels = [run_level(c, corpus_path) for c in SCALE_LEVELS]
+        levels = [_run_level_subprocess(c, corpus_path) for c in SCALE_LEVELS]
         lo, hi = levels[0], levels[-1]
         ratio = hi["cpus"] / lo["cpus"]
         eff_build = (hi["build_turns_per_sec"] / lo["build_turns_per_sec"]) / ratio
@@ -327,7 +350,10 @@ Regenerate with `python bench.py --scaling`
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-level" in sys.argv:
+        i = sys.argv.index("--scaling-level")
+        main_scaling_level(int(sys.argv[i + 1]), sys.argv[i + 2])
+    elif "--scaling" in sys.argv:
         main_scaling()
     else:
         main_default()

@@ -138,11 +138,35 @@ def make_blocks(
                 "tfs": encode_tfs(bt),
                 "dls": varint_encode(bdl.astype(np.uint64)),
                 "block_max_tf": int(bt.max()),
+                "block_min_dl": int(bdl.min()),
                 "block_max_raw": float(braw.max()),
                 "cf_block": int(bt.sum()),
             }
         )
     return blocks
+
+
+def block_upper_bound(
+    max_tf: np.ndarray,
+    min_dl: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> np.ndarray:
+    """Safe idf-free block score bound for the CURRENT avgdl.
+
+    The per-posting score is increasing in tf and decreasing in dl, so
+    raw(max_tf, min_dl, avgdl) ≥ raw(tf_i, dl_i, avgdl) for every posting
+    in the block — for ANY avgdl.  ``block_max_raw`` (the exact max at
+    encode time) is only a valid bound for the avgdl it was encoded with;
+    in an incremental index avgdl drifts as documents arrive, and pruning
+    against a stale bound is UNSAFE (found as a real rank error in the
+    streaming-ingest tests).  Query-time pruning therefore always derives
+    its bound from (block_max_tf, block_min_dl) with the live avgdl.
+    """
+    t = np.asarray(max_tf, dtype=np.float64)
+    dl = np.asarray(min_dl, dtype=np.float64)
+    return t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl))
 
 
 def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -61,6 +61,7 @@ POSTING_SCHEMA = T.StructType(
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
         T.StructField("block_max_tf", T.IntegerType(), False),
+        T.StructField("block_min_dl", T.IntegerType(), False),
         T.StructField("block_max_raw", T.DoubleType(), False),
         T.StructField("cf_block", T.LongType(), False),
     ]
@@ -201,7 +202,7 @@ def build_unit(spark: SparkSession, store: IndexStore, unit: int, avgdl: float) 
 
     if not os.path.exists(store.docs_path(unit)):
         # unit holds no doc buckets at this corpus size — trivially complete
-        info = {"blocks": 0, "postings": 0, "seconds": 0.0}
+        info = {"seconds": 0.0}
         store.mark_unit_done(unit, info)
         return info
     docs = spark.read.parquet(store.docs_path(unit)).select("doc_id", "doc_bucket", "text")
@@ -220,15 +221,10 @@ def build_unit(spark: SparkSession, store: IndexStore, unit: int, avgdl: float) 
     )
     encoded.write.mode("overwrite").partitionBy("term_bucket").parquet(store.postings_path(unit))
 
-    written = spark.read.parquet(store.postings_path(unit))
-    info_row = written.agg(
-        F.count("*").alias("blocks"), F.sum("n_docs").alias("postings")
-    ).collect()[0]
-    info = {
-        "blocks": int(info_row["blocks"]),
-        "postings": int(info_row["postings"] or 0),
-        "seconds": round(time.perf_counter() - t0, 3),
-    }
+    # no recount scan here: per-unit posting/byte metrics are computed once
+    # in finalize from block metadata (a fixed extra job per unit measurably
+    # flattened the build's core-count scaling)
+    info = {"seconds": round(time.perf_counter() - t0, 3)}
     store.mark_unit_done(unit, info)
     return info
 
@@ -278,10 +274,14 @@ def finalize(spark: SparkSession, store: IndexStore) -> dict:
     metrics = metrics.withColumn("lineage", F.lit(lineage))
     metrics.write.mode("overwrite").parquet(store.metrics_path)
 
-    vocab = dictionary.count()
-    total_postings = int(
-        posts.agg(F.sum("n_docs")).collect()[0][0] or 0
-    )
+    # vocab/total from the WRITTEN dictionary (tiny parquet) — re-deriving
+    # them from `dictionary`/`posts` would re-scan all postings twice more
+    dict_written = spark.read.parquet(store.dictionary_path)
+    row = dict_written.agg(
+        F.count("*").alias("vocab"), F.sum("df").alias("total")
+    ).collect()[0]
+    vocab = int(row["vocab"])
+    total_postings = int(row["total"] or 0)
     stats.update({"vocab": vocab, "n_postings": total_postings})
     store.write_stats(stats)
     sid = store.commit_snapshot("finalize", {"vocab": vocab, "n_postings": total_postings})

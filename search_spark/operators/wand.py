@@ -66,7 +66,13 @@ class TermCursor:
         self.avgdl = avgdl
         self.first = blocks["first_doc"].to_numpy()
         self.last = blocks["last_doc"].to_numpy()
-        self.bmax = blocks["block_max_raw"].to_numpy()
+        # Safe bound for the LIVE avgdl, derived from (max_tf, min_dl) —
+        # the stored block_max_raw is only valid for the avgdl the segment
+        # was encoded with, which drifts in incremental indexes
+        # (codec.block_upper_bound docstring).
+        self.bmax = codec.block_upper_bound(
+            blocks["block_max_tf"].to_numpy(), blocks["block_min_dl"].to_numpy(), avgdl, K1, B
+        )
         self.payloads = list(
             zip(blocks["doc_ids_delta"], blocks["tfs"], blocks["dls"], blocks["n_docs"])
         )
@@ -325,9 +331,31 @@ class IndexReader:
         # directory walk (the reference pays its load cost once too —
         # /root/reference/example/main.go:59-65).
         self._dict_df = spark.read.parquet(store.dictionary_path)
-        self._posts_df = spark.read.option("basePath", store.postings_path()).parquet(
-            store.postings_path()
-        )
+        self._posts_df = self._load_postings()
+
+    def _load_postings(self) -> DataFrame:
+        """Union of batch-unit postings and streaming segments (if any) —
+        one logical index over both ingest paths."""
+        import os
+
+        parts = []
+        if os.path.exists(self.store.postings_path()):
+            parts.append(
+                self.spark.read.option("basePath", self.store.postings_path())
+                .parquet(self.store.postings_path())
+                .drop("unit")
+            )
+        stream_root = os.path.join(self.store.root, "stream_postings")
+        if os.path.exists(stream_root):
+            parts.append(
+                self.spark.read.option("basePath", stream_root).parquet(stream_root).drop("batch")
+            )
+        if not parts:
+            raise FileNotFoundError(f"no postings under {self.store.root}")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _dictionary_rows(self, terms: list[str]) -> dict[str, tuple[float, int]]:
         """term → (idf, term_bucket) in ONE job (the bucket is persisted in

@@ -172,6 +172,19 @@ class IndexStore:
         cp = self.checkpoints()
         return {int(u) for u, v in cp["units"].items() if v.get("status") == "done"}
 
+    def mark_stream_batch(self, batch_id: int, n_docs: int) -> None:
+        """Commit one streaming micro-batch segment: records the batch in
+        the ledger AND advances the stream doc_id offset atomically — the
+        foreachBatch sink checks the ledger first, so a crash-replayed
+        batch_id is a no-op (exactly-once segments over at-least-once
+        delivery)."""
+        with _CP_LOCK:
+            cp = self.checkpoints()
+            batches = cp.setdefault("stream_batches", {})
+            batches[str(batch_id)] = {"status": "done", "n_docs": n_docs, "ts": time.time()}
+            cp["stream_doc_offset"] = int(cp.get("stream_doc_offset", 0)) + n_docs
+            _write_json_atomic(self.checkpoints_path, cp)
+
     # ---- stats ----
     def write_stats(self, stats: dict) -> None:
         _write_json_atomic(self.stats_path, stats)

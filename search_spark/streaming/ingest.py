@@ -1,0 +1,201 @@
+"""Structured Streaming ingest: incremental index segments from a growing
+transcript table.
+
+The reference is strictly batch (`Add` then `Search` — /root/reference/
+index.go:44-50; no incremental path exists).  At 10^12-turn scale new
+transcripts arrive continuously, so the engine adds the Spark-native
+incremental path: ``readStream`` over the transcript source →
+``foreachBatch`` → each micro-batch becomes ONE immutable posting segment,
+registered in the store's checkpoint ledger.
+
+Exactly-once contract:
+- Spark's streaming checkpoint (``checkpointLocation``) guarantees each
+  micro-batch id is delivered to ``foreachBatch`` at least once and never
+  interleaved; re-delivery after a crash reuses the same ``batch_id``.
+- The segment write is idempotent: the output path is keyed by
+  ``batch_id`` and rewritten with overwrite semantics; the ledger marks the
+  batch done only after its files land (same commit order as the batch
+  builder's units).
+
+Stream segments are doc-bucketed like batch units, so query-time merge is
+just "read more segment directories" — ``IndexReader`` over a store built
+from any mix of batch units and stream batches sees one logical index.
+Stream doc_ids are assigned from a reserved high range (``STREAM_DOC_BASE``
++ running offset recorded in the ledger) so they never collide with batch
+doc_ids and stay stable across restarts: within a micro-batch the order is
+the same stable ``(conv_id, turn_idx)`` contract as the batch path.
+
+Global stats (n_docs, avgdl) are refreshed per batch: BM25 idf/avgdl drift
+as documents arrive; ``finalize_stream`` recomputes the dictionary exactly
+like the batch finalize, giving rank-identical results to a from-scratch
+batch build over the same data (tested).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.indexer import POSTING_SCHEMA, _encode_partition, _tf_batches
+from ..sources.index_store import IndexStore
+
+#: stream doc_ids start here — far above any batch corpus
+STREAM_DOC_BASE = 1 << 40
+#: stream doc_buckets start here (doc_bucket is int32; batch buckets at
+#: 10^12 docs / 65536-doc buckets ≈ 1.5e7 stay far below this)
+STREAM_BUCKET_BASE = 1 << 28
+
+
+def stream_segment_path(store: IndexStore, batch_id: int) -> str:
+    return os.path.join(store.root, "stream_postings", f"batch={batch_id}")
+
+
+def stream_docs_path(store: IndexStore, batch_id: int) -> str:
+    return os.path.join(store.root, "stream_docs", f"batch={batch_id}")
+
+
+def _ingest_one_batch(
+    store: IndexStore, batch_df: DataFrame, batch_id: int, avgdl_hint: float
+) -> None:
+    """foreachBatch body: one micro-batch → one immutable segment."""
+    cp = store.checkpoints()
+    done = cp.get("stream_batches", {})
+    if str(batch_id) in done:
+        return  # crash-replay of a committed batch: idempotent no-op
+    base = STREAM_DOC_BASE + int(cp.get("stream_doc_offset", 0))
+
+    # stable ids within the batch under (conv_id, turn_idx); micro-batches
+    # are small relative to cluster memory, so a window is acceptable here —
+    # the batch path's two-phase assigner remains the bulk-load road
+    w = Window.orderBy("conv_id", "turn_idx")
+    docs = (
+        batch_df.withColumn("doc_id", F.row_number().over(w).cast("bigint") - 1 + F.lit(base))
+        .withColumn(
+            "doc_bucket",
+            (
+                ((F.col("doc_id") - F.lit(STREAM_DOC_BASE)) / store.doc_bucket_size).cast("long")
+                + F.lit(STREAM_BUCKET_BASE)
+            ).cast("int"),
+        )
+    )
+    spark = batch_df.sparkSession
+    docs.write.mode("overwrite").parquet(stream_docs_path(store, batch_id))
+    staged = spark.read.parquet(stream_docs_path(store, batch_id))
+    n_docs = staged.count()
+    if n_docs == 0:
+        store.mark_stream_batch(batch_id, 0)
+        return
+
+    tf_local = staged.select("doc_id", "doc_bucket", "text").mapInPandas(
+        _tf_batches,
+        schema="term string, doc_id long, tf int, dl int, doc_bucket int",
+    )
+    n_enc = max(2, spark.sparkContext.defaultParallelism // 2)
+    encoded = (
+        tf_local.repartition(n_enc, "term", "doc_bucket")
+        .sortWithinPartitions("term", "doc_bucket", "doc_id")
+        .mapInPandas(_encode_partition(avgdl_hint), schema=POSTING_SCHEMA)
+    )
+    encoded = encoded.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")
+    )
+    encoded.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        stream_segment_path(store, batch_id)
+    )
+    store.mark_stream_batch(batch_id, n_docs)
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_path: str,
+    store: IndexStore,
+    checkpoint_dir: str,
+    avgdl_hint: float = 30.0,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming ingest over a parquet directory source.
+
+    ``available_now=True`` processes everything currently present and
+    stops (the test/backfill mode); ``False`` runs continuously.
+    ``max_files_per_trigger`` bounds micro-batch size (and in tests forces
+    multiple batches).  Returns the StreamingQuery.
+    """
+    store.init()
+    reader = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _ingest_one_batch(store, batch_df, batch_id, avgdl_hint)
+
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def finalize_stream(spark: SparkSession, store: IndexStore) -> dict:
+    """Recompute global stats + dictionary over batch units AND stream
+    segments, exactly like the batch finalize — after this, an IndexReader
+    over the store is rank-identical to a batch build of the same rows."""
+    from ..functions.bm25 import idf_col
+
+    doc_sources = []
+    if os.path.exists(store.docs_path()):
+        doc_sources.append(spark.read.parquet(store.docs_path()).select("doc_id", "dl"))
+    sdocs_root = os.path.join(store.root, "stream_docs")
+    if os.path.exists(sdocs_root):
+        sd = spark.read.option("basePath", sdocs_root).parquet(sdocs_root)
+        from ..analyzer import tokens_col
+
+        doc_sources.append(sd.select("doc_id", F.size(tokens_col("text")).alias("dl")))
+    all_docs = doc_sources[0]
+    for d in doc_sources[1:]:
+        all_docs = all_docs.unionByName(d)
+    row = all_docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    stats = store.stats() if os.path.exists(store.stats_path) else {}
+    stats.update(
+        {
+            "n_docs": int(row["n"]),
+            "avgdl": float(row["avgdl"]),
+            "doc_bucket_size": store.doc_bucket_size,
+            "term_buckets": store.term_buckets,
+        }
+    )
+    store.write_stats(stats)
+
+    posts = _all_postings(spark, store)
+    dictionary = (
+        posts.groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.sum("cf_block").alias("cf"),
+             F.max("block_max_tf").alias("max_tf"), F.max("block_max_raw").alias("max_raw"))
+        .withColumn("idf", idf_col(F.lit(stats["n_docs"]), F.col("df")))
+        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int"))
+    )
+    dictionary.write.mode("overwrite").parquet(store.dictionary_path)
+    sid = store.commit_snapshot("finalize_stream", {"n_docs": stats["n_docs"]})
+    return {"n_docs": stats["n_docs"], "snapshot_id": sid}
+
+
+def _all_postings(spark: SparkSession, store: IndexStore) -> DataFrame:
+    parts = []
+    if os.path.exists(store.postings_path()):
+        parts.append(
+            spark.read.option("basePath", store.postings_path()).parquet(store.postings_path())
+            .drop("unit")
+        )
+    sroot = os.path.join(store.root, "stream_postings")
+    if os.path.exists(sroot):
+        parts.append(
+            spark.read.option("basePath", sroot).parquet(sroot).drop("batch")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

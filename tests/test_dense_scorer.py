@@ -84,6 +84,24 @@ def test_parity_multi_block_head_term():
     assert w == d
 
 
+def test_pruning_safe_under_avgdl_drift():
+    """Regression: blocks encoded with a stale/hinted avgdl must still give
+    exact top-k when queried under a different (larger) live avgdl — the
+    stored block_max_raw is NOT a valid bound then, and pruning against it
+    lost a true top-10 doc in the streaming path (found 2026-08-17)."""
+    rng = np.random.default_rng(99)
+    docs = np.sort(rng.choice(5000, size=1000, replace=False))
+    tfs = rng.integers(1, 5, size=1000)
+    dls = rng.integers(5, 60, size=1000)
+    stale = codec.make_blocks(docs, tfs, dls, avgdl=10.0)  # wrong hint
+    by_term = {"a": pd.DataFrame(stale)}
+    qidf = {"a": 1.3}
+    live_avgdl = 30.0  # larger than encode hint → true scores exceed stored bound
+    w, counters = wand_topk(by_term, qidf, live_avgdl, 10)
+    d = dense_topk(by_term, qidf, live_avgdl, 10)
+    assert w == d  # wand must not have pruned a winner
+
+
 def test_k_edge_cases():
     docs = np.arange(50)
     by_term = {"a": _blocks_df(docs, np.ones(50), np.full(50, 10))}

@@ -1,0 +1,96 @@
+"""Structured Streaming ingest: micro-batch segments, exactly-once replay,
+and rank-identity of a streamed index vs the oracle over the same rows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from search_spark.corpus import generate_pandas
+from search_spark.oracle import OracleIndex
+from search_spark.sources.index_store import IndexStore
+from search_spark.streaming.ingest import (
+    STREAM_DOC_BASE,
+    _ingest_one_batch,
+    finalize_stream,
+    start_ingest,
+)
+
+
+@pytest.fixture(scope="module")
+def streamed_store(spark, tmp_path_factory):
+    """Two parquet files dropped into a source dir → availableNow ingest
+    with maxFilesPerTrigger=1 → ≥2 micro-batch segments."""
+    root = tmp_path_factory.mktemp("stream")
+    src = root / "src"
+    src.mkdir()
+    pdf = generate_pandas(60)
+    # split by conversation so file order == (conv_id, turn_idx) order
+    half = pdf[pdf["conv_id"] < "conv-000030"]
+    rest = pdf[pdf["conv_id"] >= "conv-000030"]
+    spark.createDataFrame(half).coalesce(1).write.parquet(str(src / "part1"))
+    spark.createDataFrame(rest).coalesce(1).write.parquet(str(src / "part2"))
+
+    store = IndexStore(str(root / "idx"), doc_bucket_size=512, term_buckets=4)
+    q = start_ingest(
+        spark,
+        f"{src}/part*",
+        store,
+        checkpoint_dir=str(root / "cp"),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    finalize_stream(spark, store)
+    return store, pdf
+
+
+def test_stream_creates_multiple_segments(streamed_store):
+    store, pdf = streamed_store
+    cp = store.checkpoints()
+    batches = cp.get("stream_batches", {})
+    assert len(batches) >= 2
+    assert cp["stream_doc_offset"] == len(pdf)
+    for b in batches.values():
+        assert b["status"] == "done"
+
+
+def test_stream_rank_identity_vs_oracle(spark, streamed_store):
+    """Streamed index answers rank-identically to the numpy oracle over the
+    same corpus; stream doc_ids are STREAM_DOC_BASE + stable rank."""
+    from search_spark.operators.wand import IndexReader
+
+    store, pdf = streamed_store
+    ordered = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ordered["doc_id"] = range(len(ordered))
+    oracle = OracleIndex.build(ordered)
+    reader = IndexReader(spark, store)
+    for q in ["the fast", "needle1", "w0003 w0010", "the w0100 w0007"]:
+        got = [
+            (r["doc_id"], round(r["score"] * 1e6))
+            for r in reader.batch_search([("q", q)], 10).collect()
+        ]
+        want = [
+            (STREAM_DOC_BASE + doc, round(score * 1e6))
+            for doc, score in oracle.search(q, 10)
+        ]
+        assert got == want, q
+
+
+def test_stream_replay_is_idempotent(spark, streamed_store):
+    """Re-delivering a committed batch_id (crash replay) changes nothing."""
+    store, pdf = streamed_store
+    before = store.checkpoints()
+    some_batch = int(sorted(before["stream_batches"])[0])
+    sdf = spark.createDataFrame(pdf.head(10))
+    _ingest_one_batch(store, sdf, some_batch, avgdl_hint=30.0)
+    after = store.checkpoints()
+    assert after["stream_doc_offset"] == before["stream_doc_offset"]
+    assert after["stream_batches"].keys() == before["stream_batches"].keys()
+
+
+def test_stream_segments_on_disk(streamed_store):
+    store, _ = streamed_store
+    segs = os.listdir(os.path.join(store.root, "stream_postings"))
+    assert len(segs) >= 2 and all(s.startswith("batch=") for s in segs)
