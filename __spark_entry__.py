@@ -174,6 +174,7 @@ def _q_wand_batch(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from search_spark import oracle_sql_pipeline as osp  # noqa: E402
+from search_spark.functions import stats as stats_sql  # noqa: E402
 from search_spark.operators import dedup as dd  # noqa: E402
 from search_spark.operators import media as md  # noqa: E402
 from search_spark.operators import similarity as sim  # noqa: E402
@@ -266,6 +267,40 @@ def _q_frame_sample(spark, sf_dir):
     return md.frame_sample(md.attach_payload(_docs(spark, sf_dir)))
 
 
+def _eval_pairs(spark, sf_dir):
+    """(n_chars, re_tokens) per document — the metric operators' input."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(tokens_col("text")).cast("bigint").alias("re_tokens"),
+    )
+
+
+_EVAL_REL_SQL = (
+    "SELECT CAST(n_chars AS BIGINT) AS n_chars, "
+    "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS re_tokens "
+    "FROM documents"
+)
+
+
+def _q_eval_pearson(spark, sf_dir):
+    from search_spark.functions.stats import pearson
+
+    return pearson(_eval_pairs(spark, sf_dir), "n_chars", "re_tokens")
+
+
+def _q_eval_spearman(spark, sf_dir):
+    from search_spark.functions.stats import spearman
+
+    return spearman(_eval_pairs(spark, sf_dir), "n_chars", "re_tokens")
+
+
+def _q_eval_mse(spark, sf_dir):
+    from search_spark.functions.stats import mse
+
+    return mse(_eval_pairs(spark, sf_dir), "n_chars", "re_tokens")
+
+
 def _q_bm25_rehydrated(spark, sf_dir):
     """Top-k + payload text: the reference returns the stored Value with
     each result (/root/reference/index.go:20-24); relational analogue is the
@@ -305,6 +340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_meta,
         "media_frame_sample": _q_frame_sample,
         "bm25_topk_rehydrated": _q_bm25_rehydrated,
+        "eval_pearson": _q_eval_pearson,
+        "eval_spearman": _q_eval_spearman,
+        "eval_mse": _q_eval_mse,
     }
 
 
@@ -341,4 +379,7 @@ def oracle_sql() -> dict[str, str]:
 WITH topk AS ({osql.bm25_topk_sql(Q_MIX, _TOPK)})
 SELECT topk.doc_id, topk.rank, topk.score_micro, documents.text
 FROM topk JOIN documents ON documents.doc_id = topk.doc_id""",
+        "eval_pearson": stats_sql.pearson_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
+        "eval_spearman": stats_sql.spearman_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
+        "eval_mse": stats_sql.mse_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
     }

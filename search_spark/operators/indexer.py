@@ -107,13 +107,8 @@ TF_SCHEMA = T.StructType(
 
 
 def _tf_batches(batches):
-    """mapInPandas: (doc_id, doc_bucket, text) → (term, doc_id, tf, dl, ...).
-
-    A document's tokens live entirely in its own row, so term frequencies
-    are computed LOCALLY per Arrow batch (one vectorized pandas groupby) —
-    no explode shuffle at all.  The only wide stage left in P1 is the
-    (term, doc_bucket) repartition of these pre-aggregated triples.
-    """
+    """mapInPandas tf computation — kept as the Python reference for
+    :func:`tf_triples` (tested equal); the hot path is the JVM variant."""
     import numpy as np
 
     from ..analyzer import tokenize_pandas
@@ -140,6 +135,47 @@ def _tf_batches(batches):
         out["dl"] = out["dl"].astype("int32")
         out["doc_bucket"] = out["doc_bucket"].astype("int32")
         yield out[["term", "doc_id", "tf", "dl", "doc_bucket"]]
+
+
+def tf_triples(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl, doc_bucket) — pure JVM, shuffle-free VARIANT.
+
+    A document's tokens live entirely in its own row, so term frequencies
+    are a PER-ROW computation: for each distinct token, count it in the
+    token array (higher-order functions, ~|distinct| × |tokens| comparisons
+    per doc).  MEASURED on local[32] over 1.4M turns this was 5× SLOWER
+    than the Arrow/pandas `_tf_batches` path (3.8k vs 20.7k turns/s) — the
+    nested array HOFs allocate per-token objects and GC dominates at high
+    thread counts — so `_tf_batches` is the hot path and this stays as the
+    cross-checked JVM reference (kept because on a real multi-executor
+    cluster with separate heaps the trade-off may invert; re-measure there).
+    """
+    toks = tokens_col("text")
+    tf_pairs = F.transform(
+        F.array_distinct("tokens"),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(F.col("tokens"), lambda x: x == t)).cast("int").alias("tf"),
+        ),
+    )
+    return (
+        docs.withColumn("tokens", toks)
+        .withColumn("dl", F.size("tokens").cast("int"))
+        .filter(F.col("dl") > 0)
+        .select(
+            "doc_id",
+            "doc_bucket",
+            "dl",
+            F.explode(tf_pairs).alias("p"),
+        )
+        .select(
+            F.col("p.term").alias("term"),
+            "doc_id",
+            F.col("p.tf").alias("tf"),
+            "dl",
+            F.col("doc_bucket").cast("int").alias("doc_bucket"),
+        )
+    )
 
 
 def _encode_partition(avgdl: float):
@@ -194,7 +230,13 @@ def _encode_partition(avgdl: float):
     return encode
 
 
-def build_unit(spark: SparkSession, store: IndexStore, unit: int, avgdl: float) -> dict:
+def build_unit(
+    spark: SparkSession,
+    store: IndexStore,
+    unit: int,
+    avgdl: float,
+    tf_partitions: int | None = None,
+) -> dict:
     """P1 for one unit: docs → local tf → one (term, doc_bucket) shuffle →
     sorted vectorized block encode → parquet + checkpoint."""
     t0 = time.perf_counter()
@@ -206,6 +248,14 @@ def build_unit(spark: SparkSession, store: IndexStore, unit: int, avgdl: float) 
         store.mark_unit_done(unit, info)
         return info
     docs = spark.read.parquet(store.docs_path(unit)).select("doc_id", "doc_bucket", "text")
+    # The tf stage is Python-per-byte work, but maxPartitionBytes packs a
+    # small unit's files into one or two scan tasks — at test scale that
+    # serialized the most expensive stage onto <= n_units cores (measured:
+    # 3-11 of 32 cores busy).  Split BELOW the byte-based packing when the
+    # natural partitioning is coarser than the cluster; at real scale the
+    # unit has plenty of files and this is a no-op.
+    if tf_partitions and docs.rdd.getNumPartitions() < tf_partitions:
+        docs = docs.repartition(tf_partitions)
     tf_local = docs.mapInPandas(_tf_batches, schema=TF_SCHEMA)
     # explicit partition count: AQE would coalesce this small-at-test-scale
     # exchange to one task and serialize the encode; at 10^12 scale the same
@@ -318,19 +368,23 @@ def build_index(
 
     done = store.completed_units()
     pending = [u for u in range(n_units) if u not in done]
+    # size per-unit tf parallelism so concurrent units together saturate the
+    # cluster even when each unit's input packs into few scan tasks
+    tf_parts = max(2, spark.sparkContext.defaultParallelism * 2 // max(1, unit_parallelism))
     if fail_after_units is not None or unit_parallelism <= 1:
         built = 0
         for u in pending:
             if fail_after_units is not None and built >= fail_after_units:
                 raise RuntimeError(f"simulated failure after {built} units")
-            build_unit(spark, store, u, stats["avgdl"])
+            build_unit(spark, store, u, stats["avgdl"], tf_partitions=tf_parts)
             built += 1
     elif pending:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(unit_parallelism, len(pending))) as ex:
             futures = [
-                ex.submit(build_unit, spark, store, u, stats["avgdl"]) for u in pending
+                ex.submit(build_unit, spark, store, u, stats["avgdl"], tf_parts)
+                for u in pending
             ]
             for f in futures:
                 f.result()  # propagate the first failure

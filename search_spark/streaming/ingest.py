@@ -38,7 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.indexer import POSTING_SCHEMA, _encode_partition, _tf_batches
+from ..operators.indexer import POSTING_SCHEMA, TF_SCHEMA, _encode_partition, _tf_batches
 from ..sources.index_store import IndexStore
 
 #: stream doc_ids start here — far above any batch corpus
@@ -89,8 +89,7 @@ def _ingest_one_batch(
         return
 
     tf_local = staged.select("doc_id", "doc_bucket", "text").mapInPandas(
-        _tf_batches,
-        schema="term string, doc_id long, tf int, dl int, doc_bucket int",
+        _tf_batches, schema=TF_SCHEMA
     )
     n_enc = max(2, spark.sparkContext.defaultParallelism // 2)
     encoded = (

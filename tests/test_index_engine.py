@@ -154,3 +154,20 @@ def test_wand_exhaustive_vs_oracle(reader, oracle):
         assert [r["doc_id"] for r in got] == [d for d, _ in want], q
         for r, (_, s) in zip(got, want):
             assert r["score"] == pytest.approx(s, abs=1e-6)
+
+
+def test_tf_triples_matches_pandas_reference(spark, tiny_corpus_pd):
+    """JVM higher-order-function tf == the Arrow/pandas reference impl."""
+    from pyspark.sql import functions as F
+
+    from search_spark.operators.indexer import TF_SCHEMA, _tf_batches, tf_triples
+
+    sdf = spark.createDataFrame(tiny_corpus_pd)
+    docs = (
+        sdf.withColumn("doc_id", F.monotonically_increasing_id())
+        .withColumn("doc_bucket", (F.col("doc_id") % 4).cast("int"))
+        .select("doc_id", "doc_bucket", "text")
+    )
+    jvm = {tuple(r) for r in tf_triples(docs).collect()}
+    ref = {tuple(r) for r in docs.mapInPandas(_tf_batches, schema=TF_SCHEMA).collect()}
+    assert jvm == ref and len(jvm) > 100
