@@ -1,0 +1,148 @@
+"""Segment compaction: per-unit / per-stream-batch segments → one global
+posting layout (the LSM story's merge leg; north_star: "merge partition
+segments into a global index via a salted, skew-aware shuffle keyed on
+term").
+
+Before compaction the global index exists *logically* (IndexReader unions
+segment directories).  Compaction materializes it:
+
+- ONE shuffle keyed on ``(term_bucket)`` — the term-hash salt — with
+  ``sortWithinPartitions(term, doc_bucket, first_doc)``.  Doc-range
+  bucketing means segments' runs for one (term, doc_bucket) never overlap
+  in docID, so the sorted stream concatenates into global docID order with
+  NO re-sort of postings (SURVEY.md §7.4).
+- Adjacent small blocks of the same (term, doc_bucket) — typical at
+  stream-batch boundaries — are decoded and re-encoded into full
+  BLOCK_SIZE blocks (`mapInPandas`, numpy codec), restoring block-max skip
+  efficiency.
+- Output replaces the live postings via an atomic snapshot commit; the old
+  segment dirs are dropped only after the new layout is fully written
+  (crash between write and commit → reader still sees the old segments).
+
+Query results are IDENTICAL before and after compaction (tested) — only
+the physical layout changes.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import codec
+from ..sources.index_store import IndexStore
+from .indexer import POSTING_SCHEMA
+
+
+def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Re-block a sorted stream of posting blocks.
+
+    Input partition is hash-partitioned by term_bucket and sorted by
+    (term, doc_bucket, first_doc); a (term, doc_bucket) run may be split
+    across Arrow batches, so the trailing run is carried like the encoder's.
+    Full blocks pass through untouched (no decode); only runs containing
+    under-filled blocks are decoded and re-encoded.
+    """
+
+    carry: pd.DataFrame | None = None
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        terms = pdf["term"].to_numpy()
+        buckets = pdf["doc_bucket"].to_numpy()
+        change = np.flatnonzero((terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(pdf)]))
+        for s, e in zip(starts, ends):
+            run = pdf.iloc[s:e]
+            n_blocks = e - s
+            full = (run["n_docs"].to_numpy()[:-1] >= codec.BLOCK_SIZE).all() if n_blocks > 1 else True
+            if full:
+                out_rows.append(run)
+                continue
+            # decode the whole run, re-encode densely
+            docs_l, tfs_l, dls_l = [], [], []
+            for row in run.itertuples(index=False):
+                d, t, dl = codec.decode_block(row._asdict())
+                docs_l.append(d)
+                tfs_l.append(t)
+                dls_l.append(dl)
+            d = np.concatenate(docs_l)
+            t = np.concatenate(tfs_l)
+            dl = np.concatenate(dls_l)
+            # avgdl only feeds the diagnostic block_max_raw; bounds used at
+            # query time derive from (max_tf, min_dl) — any positive value ok
+            blocks = codec.make_blocks(d, t, dl, avgdl=1.0)
+            rebuilt = pd.DataFrame(blocks)
+            rebuilt.insert(0, "term", run["term"].iloc[0])
+            rebuilt.insert(1, "doc_bucket", int(run["doc_bucket"].iloc[0]))
+            out_rows.append(rebuilt[[f.name for f in POSTING_SCHEMA.fields]])
+        return pd.concat(out_rows, ignore_index=True) if out_rows else pd.DataFrame(
+            columns=[f.name for f in POSTING_SCHEMA.fields]
+        )
+
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        lt = pdf["term"].iloc[-1]
+        lb = pdf["doc_bucket"].iloc[-1]
+        tail_first = int(
+            np.argmax((pdf["term"].to_numpy() == lt) & (pdf["doc_bucket"].to_numpy() == lb))
+        )
+        carry = pdf.iloc[tail_first:]
+        head = pdf.iloc[:tail_first]
+        if len(head):
+            yield emit(head)
+    if carry is not None and len(carry):
+        yield emit(carry)
+
+
+def compact_index(spark: SparkSession, store: IndexStore) -> dict:
+    """Merge all segments into the compacted global layout; returns stats."""
+    from ..operators.wand import IndexReader
+
+    reader = IndexReader(spark, store)  # validates versions, unions segments
+    posts = reader._posts_df  # term_bucket present from partition discovery
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+
+    merged = (
+        posts.repartition(n_parts, "term_bucket")
+        .sortWithinPartitions("term", "doc_bucket", "first_doc")
+        .drop("term_bucket")
+        .mapInPandas(_merge_partition, schema=POSTING_SCHEMA)
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")
+        )
+    )
+    tmp_path = os.path.join(store.root, "postings_compacted")
+    merged.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp_path)
+
+    row = (
+        spark.read.option("basePath", tmp_path).parquet(tmp_path)
+        .agg(F.count("*").alias("blocks"), F.sum("n_docs").alias("postings"))
+        .collect()[0]
+    )
+
+    # swap, old-aside-first so a crash mid-swap never leaves zero postings:
+    # (single-writer local store; Iceberg's snapshot commit replaces this
+    # dance on a real catalog — sources/iceberg.py)
+    old_units = store.postings_path()
+    stream_root = os.path.join(store.root, "stream_postings")
+    aside = old_units + ".old"
+    if os.path.exists(old_units):
+        os.rename(old_units, aside)
+    os.makedirs(old_units, exist_ok=True)
+    os.rename(tmp_path, os.path.join(old_units, "unit=compacted"))
+    sid = store.commit_snapshot(
+        "compact", {"blocks": int(row["blocks"]), "postings": int(row["postings"] or 0)}
+    )
+    shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(stream_root, ignore_errors=True)
+    return {"blocks": int(row["blocks"]), "postings": int(row["postings"] or 0), "snapshot_id": sid}
