@@ -429,9 +429,13 @@ class IndexReader:
 
         # explicit partition count: the scorer's cost is Python-per-posting,
         # not bytes — AQE's byte-based coalescing would serialize it onto
-        # one task at small scale.  Hash layout matches the grouping keys,
-        # so groupBy below adds no second exchange.
-        n_score = self.spark.sparkContext.defaultParallelism
+        # one task at small scale, while over-partitioning pays a Python
+        # worker round trip per EMPTY task.  The true group count is known
+        # exactly: queries × doc buckets (stats).  Hash layout matches the
+        # grouping keys, so groupBy below adds no second exchange.
+        n_buckets = -(-int(self.stats["n_docs"]) // int(self.stats["doc_bucket_size"]))
+        n_groups = len(qterms) * max(1, n_buckets)
+        n_score = max(1, min(self.spark.sparkContext.defaultParallelism, n_groups))
         local = (
             joined.repartition(n_score, "query_id", "doc_bucket")
             .groupBy("query_id", "doc_bucket")
