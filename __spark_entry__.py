@@ -94,6 +94,9 @@ def _q_dictionary(spark, sf_dir):
 
 
 def _q_corpus_stats(spark, sf_dir):
+    """Fully declarative (one plan, no driver-side actions): doc-level and
+    posting-level aggregates crossJoined — Catalyst runs both branches and
+    a 1×1 join."""
     docs = _docs(spark, sf_dir).withColumn("toks", tokens_col("text"))
     dl = docs.select("doc_id", F.size("toks").alias("dl"))
     tf = (
@@ -106,9 +109,11 @@ def _q_corpus_stats(spark, sf_dir):
         F.sum("dl").cast("bigint").alias("total_tokens"),
         F.round(F.avg("dl") * 1e6).cast("bigint").alias("avgdl_micro"),
     )
-    vocab = tf.select("term").distinct().count()
-    postings = tf.count()
-    return stats.withColumn("vocab", F.lit(vocab)).withColumn("postings", F.lit(postings))
+    tf_stats = tf.agg(
+        F.countDistinct("term").alias("vocab"),
+        F.count("*").alias("postings"),
+    )
+    return stats.crossJoin(tf_stats)
 
 
 def _q_doclens(spark, sf_dir):
@@ -301,6 +306,31 @@ def _q_eval_mse(spark, sf_dir):
     return mse(_eval_pairs(spark, sf_dir), "n_chars", "re_tokens")
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling 1-hour windows per event_type over the events table —
+    the time-window aggregation shape (Structured Streaming uses the
+    identical F.window expression on a stream)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 1e2).cast("bigint").alias("sum_value_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("uniq_users"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+            "uniq_users",
+        )
+    )
+
+
 def _q_bm25_rehydrated(spark, sf_dir):
     """Top-k + payload text: the reference returns the stored Value with
     each result (/root/reference/index.go:20-24); relational analogue is the
@@ -340,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _q_media_meta,
         "media_frame_sample": _q_frame_sample,
         "bm25_topk_rehydrated": _q_bm25_rehydrated,
+        "events_windowed": _q_events_windowed,
         "eval_pearson": _q_eval_pearson,
         "eval_spearman": _q_eval_spearman,
         "eval_mse": _q_eval_mse,
@@ -379,6 +410,14 @@ def oracle_sql() -> dict[str, str]:
 WITH topk AS ({osql.bm25_topk_sql(Q_MIX, _TOPK)})
 SELECT topk.doc_id, topk.rank, topk.score_micro, documents.text
 FROM topk JOIN documents ON documents.doc_id = topk.doc_id""",
+        "events_windowed": """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+FROM events
+GROUP BY 1, 2""",
         "eval_pearson": stats_sql.pearson_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
         "eval_spearman": stats_sql.spearman_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
         "eval_mse": stats_sql.mse_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
