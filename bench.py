@@ -96,12 +96,19 @@ def _pctl(xs: list[float], p: float) -> float:
 
 
 def build_wand_index(spark, transcripts, workdir: str, n_units: int = 4, unit_parallelism: int = 4):
-    """Build the persisted block-max index; returns (reader, n_docs, seconds)."""
+    """Build the persisted block-max index; returns (reader, n_docs, seconds).
+
+    Store geometry adapts to corpus size (parquet-metadata count, cheap):
+    tiny corpora don't pay big-corpus unit/bucket constants — fewer unit
+    jobs, and enough doc buckets that the scorer parallelizes."""
     from search_spark.operators.indexer import build_index
     from search_spark.operators.wand import IndexReader
     from search_spark.sources.index_store import IndexStore
 
-    store = IndexStore(workdir, doc_bucket_size=4096, term_buckets=16)
+    n_rows = transcripts.count()
+    bucket = max(512, min(4096, n_rows // 16 or 512))
+    n_units = max(1, min(n_units, n_rows // (2 * bucket) or 1))
+    store = IndexStore(workdir, doc_bucket_size=bucket, term_buckets=16)
     t0 = time.perf_counter()
     build_index(spark, transcripts, store, n_units=n_units, unit_parallelism=unit_parallelism)
     secs = time.perf_counter() - t0
