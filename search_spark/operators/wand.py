@@ -383,63 +383,72 @@ class IndexReader:
     def batch_search(self, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
         """Batch top-k: queries = [(query_id, query_text)].
 
-        Plan: candidate blocks (pruned scan) ⋈ broadcast(query_id, term)
-        → applyInPandas WAND per (query_id, doc_bucket) with local heaps
-        → global per-query top-k over k×buckets candidate rows.
-        Returns (query_id, rank, doc_id, score).
+        Plan: candidate blocks (pruned scan) → applyInPandas per
+        ``doc_bucket`` group scoring ALL queries of the batch against the
+        bucket (shared-term blocks cross the wire and decode ONCE per
+        bucket, not once per query — head terms like "the" typically
+        appear in many queries of a batch) → global per-query top-k over
+        k×buckets candidate rows.  Returns (query_id, rank, doc_id, score).
         """
         if k <= 0:
             return self.spark.createDataFrame(
                 [], "query_id string, rank int, doc_id bigint, score double"
             )
-        qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
-        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        qterms_all = {qid: sorted(set(tokenize(text))) for qid, text in queries}
+        all_terms = sorted({t for ts in qterms_all.values() for t in ts})
         dict_rows = self._dictionary_rows(all_terms)
         live_terms = [t for t in all_terms if t in dict_rows]
-
-        pairs = [(qid, t) for qid, ts in qterms.items() for t in ts if t in dict_rows]
-        if not pairs:
+        qterms = {
+            qid: [t for t in ts if t in dict_rows]
+            for qid, ts in qterms_all.items()
+            if any(t in dict_rows for t in ts)
+        }
+        if not qterms:
             return self.spark.createDataFrame(
                 [], "query_id string, rank int, doc_id bigint, score double"
             )
-        qdf = self.spark.createDataFrame(pairs, "query_id string, term string")
 
         blocks = self.candidate_blocks(live_terms, [b for _, b in dict_rows.values()])
-        joined = blocks.join(F.broadcast(qdf), "term")
-
         avgdl = float(self.stats["avgdl"])
         idf_b = {t: idf for t, (idf, _) in dict_rows.items()}
+        qterms_b = dict(qterms)  # captured in the closure (tiny)
 
-        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            qid = pdf["query_id"].iloc[0]
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             by_term = {t: g for t, g in pdf.groupby("term")}
-            # scorer dispatch: posting-level block-max WAND where skipping
-            # can win (sparse groups), vectorized dense accumulation where
-            # the range is dense and per-posting Python would crawl.  Both
-            # are exact and bit-identical (property-tested).
-            if int(pdf["n_docs"].sum()) <= WAND_MAX_POSTINGS:
-                top, _ = wand_topk(by_term, idf_b, avgdl, k)
-            else:
-                top = dense_topk(by_term, idf_b, avgdl, k)
-            if not top:
+            outs = []
+            for qid, terms in qterms_b.items():
+                sub = {t: by_term[t] for t in terms if t in by_term}
+                if not sub:
+                    continue
+                # scorer dispatch: posting-level block-max WAND where
+                # skipping can win (sparse), vectorized dense accumulation
+                # where per-posting Python would crawl.  Both exact and
+                # bit-identical (property-tested).
+                n_postings = int(sum(g["n_docs"].sum() for g in sub.values()))
+                if n_postings <= WAND_MAX_POSTINGS:
+                    top, _ = wand_topk(sub, idf_b, avgdl, k)
+                else:
+                    top = dense_topk(sub, idf_b, avgdl, k)
+                if top:
+                    out = pd.DataFrame(top, columns=["doc_id", "score"])
+                    out.insert(0, "query_id", qid)
+                    outs.append(out)
+            if not outs:
                 return pd.DataFrame(columns=["query_id", "doc_id", "score"])
-            out = pd.DataFrame(top, columns=["doc_id", "score"])
-            out.insert(0, "query_id", qid)
-            return out
+            return pd.concat(outs, ignore_index=True)
 
         # explicit partition count: the scorer's cost is Python-per-posting,
         # not bytes — AQE's byte-based coalescing would serialize it onto
         # one task at small scale, while over-partitioning pays a Python
-        # worker round trip per EMPTY task.  The true group count is known
-        # exactly: queries × doc buckets (stats).  Hash layout matches the
-        # grouping keys, so groupBy below adds no second exchange.
+        # worker round trip per EMPTY task.  Group count = doc buckets
+        # (known from stats).  Hash layout matches the grouping key, so
+        # groupBy below adds no second exchange.
         n_buckets = -(-int(self.stats["n_docs"]) // int(self.stats["doc_bucket_size"]))
-        n_groups = len(qterms) * max(1, n_buckets)
-        n_score = max(1, min(self.spark.sparkContext.defaultParallelism, n_groups))
+        n_score = max(1, min(self.spark.sparkContext.defaultParallelism, max(1, n_buckets)))
         local = (
-            joined.repartition(n_score, "query_id", "doc_bucket")
-            .groupBy("query_id", "doc_bucket")
-            .applyInPandas(score_group, schema=RESULT_SCHEMA)
+            blocks.repartition(n_score, "doc_bucket")
+            .groupBy("doc_bucket")
+            .applyInPandas(score_bucket, schema=RESULT_SCHEMA)
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         return (
