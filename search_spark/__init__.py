@@ -28,3 +28,25 @@ Layout:
 __version__ = "0.1.0"
 
 FORMAT_VERSION = 1  # analogue of the codec version byte, /root/reference/index_codec.go:20-22
+
+
+def __getattr__(name):
+    """Lazy public API facade (keeps bare ``import search_spark`` free of
+    pyspark import cost for oracle/codec-only consumers)."""
+    from importlib import import_module
+
+    facade = {
+        "build_index": ("search_spark.operators.indexer", "build_index"),
+        "IndexReader": ("search_spark.operators.wand", "IndexReader"),
+        "IndexStore": ("search_spark.sources.index_store", "IndexStore"),
+        "compact_index": ("search_spark.operators.compact", "compact_index"),
+        "build_df_index": ("search_spark.operators.build", "build_df_index"),
+        "search_topk_df": ("search_spark.operators.build", "search_topk_df"),
+        "assign_doc_ids": ("search_spark.operators.docids", "assign_doc_ids"),
+        "start_ingest": ("search_spark.streaming.ingest", "start_ingest"),
+        "finalize_stream": ("search_spark.streaming.ingest", "finalize_stream"),
+    }
+    if name in facade:
+        mod, attr = facade[name]
+        return getattr(import_module(mod), attr)
+    raise AttributeError(f"module 'search_spark' has no attribute {name!r}")
