@@ -27,7 +27,12 @@ Layout:
 
 __version__ = "0.1.0"
 
-FORMAT_VERSION = 1  # analogue of the codec version byte, /root/reference/index_codec.go:20-22
+# Analogue of the codec version byte, /root/reference/index_codec.go:20-22.
+# v2: POSTING_SCHEMA requires block_min_dl, the dictionary carries
+# term_bucket, and the manifest may carry a covered-`segments` list — a v1
+# store must be rebuilt (IndexStore.check_versions rejects it, mirroring the
+# reference's read-time version gate at index_codec.go:56-58).
+FORMAT_VERSION = 2
 
 
 def __getattr__(name):

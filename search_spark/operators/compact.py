@@ -15,9 +15,15 @@ segment directories).  Compaction materializes it:
   stream-batch boundaries — are decoded and re-encoded into full
   BLOCK_SIZE blocks (`mapInPandas`, numpy codec), restoring block-max skip
   efficiency.
-- Output replaces the live postings via an atomic snapshot commit; the old
-  segment dirs are dropped only after the new layout is fully written
-  (crash between write and commit → reader still sees the old segments).
+- Output replaces the live postings via an atomic snapshot commit: the
+  compacted layout is fully written to a NEW directory first, then ONE
+  atomic manifest write both records the snapshot and repoints the
+  covered-``segments`` list at the new directory.  Old segment dirs are
+  removed only after the commit, best-effort — a crash at ANY point leaves
+  readers on exactly one consistent view (old segments before the commit,
+  compacted layout after), because ``IndexStore.load_postings_df`` reads
+  only the dirs the manifest covers and ignores stale leftovers (no
+  zero-postings window, no double-counted stream segments).
 
 Query results are IDENTICAL before and after compaction (tested) — only
 the physical layout changes.
@@ -121,7 +127,12 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")
         )
     )
-    tmp_path = os.path.join(store.root, "postings_compacted")
+    # unique target dir per compaction (repeated compactions never collide
+    # with the still-live previous layout)
+    tag = (store.manifest()["current_snapshot"] or 0) + 1
+    new_unit = f"unit=compacted{tag}"
+    new_rel = os.path.join("postings", new_unit)
+    tmp_path = os.path.join(store.root, f"_compact_tmp_{tag}")
     merged.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp_path)
 
     row = (
@@ -130,19 +141,21 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
         .collect()[0]
     )
 
-    # swap, old-aside-first so a crash mid-swap never leaves zero postings:
-    # (single-writer local store; Iceberg's snapshot commit replaces this
-    # dance on a real catalog — sources/iceberg.py)
-    old_units = store.postings_path()
-    stream_root = os.path.join(store.root, "stream_postings")
-    aside = old_units + ".old"
-    if os.path.exists(old_units):
-        os.rename(old_units, aside)
-    os.makedirs(old_units, exist_ok=True)
-    os.rename(tmp_path, os.path.join(old_units, "unit=compacted"))
+    # install-then-commit: the new layout lands under postings/ while the
+    # old dirs remain untouched; the snapshot commit atomically repoints
+    # the covered-segments list (single-writer local store; Iceberg's
+    # snapshot commit replaces this on a real catalog — sources/iceberg.py)
+    os.makedirs(store.postings_path(), exist_ok=True)
+    os.rename(tmp_path, os.path.join(store.root, new_rel))
     sid = store.commit_snapshot(
-        "compact", {"blocks": int(row["blocks"]), "postings": int(row["postings"] or 0)}
+        "compact",
+        {"blocks": int(row["blocks"]), "postings": int(row["postings"] or 0)},
+        segments=[new_rel],
     )
-    shutil.rmtree(aside, ignore_errors=True)
-    shutil.rmtree(stream_root, ignore_errors=True)
+    # cleanup is best-effort: stale dirs are invisible to snapshot-aware
+    # readers even if this is interrupted
+    for d in os.listdir(store.postings_path()):
+        if d != new_unit:
+            shutil.rmtree(os.path.join(store.postings_path(), d), ignore_errors=True)
+    shutil.rmtree(os.path.join(store.root, "stream_postings"), ignore_errors=True)
     return {"blocks": int(row["blocks"]), "postings": int(row["postings"] or 0), "snapshot_id": sid}

@@ -317,45 +317,31 @@ RESULT_SCHEMA = T.StructType(
 class IndexReader:
     """Query-side handle on a persisted index (analogue of the loaded
     ``Index[T]`` in /root/reference/example/main.go:59-65, but lazy: only
-    the manifest + stats are read eagerly; postings stream per query)."""
+    the manifest + stats are read eagerly; postings stream per query).
+
+    SNAPSHOT AT OPEN: the postings file listing, stats, and dictionary are
+    fixed at construction (Spark caches the listing in the DataFrame's
+    FileIndex, so repeated queries skip the directory walk).  Segments
+    ingested or compacted AFTER construction are invisible until
+    :meth:`refresh` — the same contract as the reference's loaded in-memory
+    index.  Streaming consumers should call ``refresh()`` when the store's
+    ledger advances (``store.checkpoints()['stream_batches']`` count)."""
 
     def __init__(self, spark: SparkSession, store: IndexStore):
         store.check_versions()
         self.spark = spark
         self.store = store
-        self.stats = store.stats()
-        m = store.manifest()
-        self.term_buckets = m["term_buckets"]
-        # Reuse one DataFrame per table across queries: Spark caches the
-        # file listing in the DF's FileIndex, so repeated queries skip the
-        # directory walk (the reference pays its load cost once too —
-        # /root/reference/example/main.go:59-65).
-        self._dict_df = spark.read.parquet(store.dictionary_path)
-        self._posts_df = self._load_postings()
+        self.term_buckets = store.manifest()["term_buckets"]
+        self.refresh()
 
-    def _load_postings(self) -> DataFrame:
-        """Union of batch-unit postings and streaming segments (if any) —
-        one logical index over both ingest paths."""
-        import os
-
-        parts = []
-        if os.path.exists(self.store.postings_path()):
-            parts.append(
-                self.spark.read.option("basePath", self.store.postings_path())
-                .parquet(self.store.postings_path())
-                .drop("unit")
-            )
-        stream_root = os.path.join(self.store.root, "stream_postings")
-        if os.path.exists(stream_root):
-            parts.append(
-                self.spark.read.option("basePath", stream_root).parquet(stream_root).drop("batch")
-            )
-        if not parts:
-            raise FileNotFoundError(f"no postings under {self.store.root}")
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+    def refresh(self) -> "IndexReader":
+        """Re-open the store's CURRENT snapshot: re-reads stats, dictionary
+        and the postings file listing (new stream segments / compacted
+        layouts become visible).  Cheap — three metadata reads, no data."""
+        self.stats = self.store.stats()
+        self._dict_df = self.spark.read.parquet(self.store.dictionary_path)
+        self._posts_df = self.store.load_postings_df(self.spark)
+        return self
 
     def _dictionary_rows(self, terms: list[str]) -> dict[str, tuple[float, int]]:
         """term → (idf, term_bucket) in ONE job (the bucket is persisted in

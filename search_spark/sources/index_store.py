@@ -38,8 +38,9 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-#: serializes checkpoint-ledger writes across concurrent unit-builder threads
-_CP_LOCK = threading.Lock()
+#: serializes checkpoint-ledger/manifest writes across concurrent
+#: unit-builder threads (reentrant: stream commits nest a segment update)
+_CP_LOCK = threading.RLock()
 
 from .. import FORMAT_VERSION
 from ..analyzer import ANALYZER_VERSION
@@ -133,21 +134,50 @@ class IndexStore:
                 f"analyzer version {m['analyzer_version']} != engine {ANALYZER_VERSION}"
             )
 
-    def commit_snapshot(self, operation: str, summary: dict) -> int:
-        m = self.manifest()
-        sid = (m["current_snapshot"] or 0) + 1
-        m["snapshots"].append(
-            {
-                "snapshot_id": sid,
-                "parent_id": m["current_snapshot"],
-                "operation": operation,
-                "timestamp": time.time(),
-                "summary": summary,
-            }
-        )
-        m["current_snapshot"] = sid
-        _write_json_atomic(self.manifest_path, m)
-        return sid
+    def commit_snapshot(
+        self, operation: str, summary: dict, segments: list[str] | None = None
+    ) -> int:
+        """Append a snapshot; when ``segments`` is given, the manifest's
+        covered-segments list is replaced in the SAME atomic write — readers
+        observe either the old (snapshot, segments) pair or the new one,
+        never a half-committed mix (compaction relies on this)."""
+        with _CP_LOCK:
+            m = self.manifest()
+            sid = (m["current_snapshot"] or 0) + 1
+            m["snapshots"].append(
+                {
+                    "snapshot_id": sid,
+                    "parent_id": m["current_snapshot"],
+                    "operation": operation,
+                    "timestamp": time.time(),
+                    "summary": summary,
+                }
+            )
+            m["current_snapshot"] = sid
+            if segments is not None:
+                m["segments"] = sorted(segments)
+            _write_json_atomic(self.manifest_path, m)
+            return sid
+
+    def covered_segments(self) -> list[str] | None:
+        """Root-relative posting-segment dirs covered by the current
+        snapshot, or None for legacy stores (→ directory discovery).  A
+        compacted store lists segments explicitly so stale dirs left by a
+        crashed cleanup are INVISIBLE to readers (no double-counting)."""
+        return self.manifest().get("segments")
+
+    def add_segment(self, rel_path: str) -> None:
+        """Register a new posting segment dir (root-relative) with the
+        covered-segments list.  No-op on legacy stores — discovery already
+        sees every dir there."""
+        with _CP_LOCK:
+            m = self.manifest()
+            segs = m.get("segments")
+            if segs is None or rel_path in segs:
+                return
+            segs.append(rel_path)
+            m["segments"] = sorted(segs)
+            _write_json_atomic(self.manifest_path, m)
 
     # ---- checkpoints (resume ledger) ----
     def checkpoints(self) -> dict:
@@ -184,6 +214,53 @@ class IndexStore:
             batches[str(batch_id)] = {"status": "done", "n_docs": n_docs, "ts": time.time()}
             cp["stream_doc_offset"] = int(cp.get("stream_doc_offset", 0)) + n_docs
             _write_json_atomic(self.checkpoints_path, cp)
+            if n_docs > 0:
+                # post-compaction stores track covered segments explicitly;
+                # a new stream segment must register to become visible
+                self.add_segment(f"stream_postings/batch={batch_id}")
+
+    # ---- postings (snapshot-aware) ----
+    def load_postings_df(self, spark):
+        """One logical postings DataFrame over the store.
+
+        Snapshot-aware: if the manifest carries a covered-``segments`` list
+        (written by compaction, appended to by stream commits), read EXACTLY
+        those directories — a crashed post-compaction cleanup can leave old
+        segment dirs on disk, and blindly unioning them would double-count
+        every streamed posting.  Legacy stores (no list) fall back to
+        directory discovery over ``postings/`` + ``stream_postings/``.
+        """
+        segs = self.covered_segments()
+        parts = []
+        if segs is None:
+            if os.path.exists(self.postings_path()):
+                parts.append(
+                    spark.read.option("basePath", self.postings_path())
+                    .parquet(self.postings_path())
+                    .drop("unit")
+                )
+            stream_root = os.path.join(self.root, "stream_postings")
+            if os.path.exists(stream_root):
+                parts.append(
+                    spark.read.option("basePath", stream_root).parquet(stream_root).drop("batch")
+                )
+        else:
+            for rel in segs:
+                p = os.path.join(self.root, rel)
+                if not os.path.exists(p):
+                    raise FileNotFoundError(
+                        f"manifest lists segment {rel!r} but {p} is missing"
+                    )
+                # basePath = the segment dir itself → only term_bucket is
+                # discovered as a partition column (uniform schema across
+                # batch units, stream batches and compacted layouts)
+                parts.append(spark.read.option("basePath", p).parquet(p))
+        if not parts:
+            raise FileNotFoundError(f"no postings under {self.root}")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ---- stats ----
     def write_stats(self, stats: dict) -> None:

@@ -35,9 +35,10 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.docids import assign_doc_ids
 from ..operators.indexer import POSTING_SCHEMA, TF_SCHEMA, _encode_partition, _tf_batches
 from ..sources.index_store import IndexStore
 
@@ -66,12 +67,13 @@ def _ingest_one_batch(
         return  # crash-replay of a committed batch: idempotent no-op
     base = STREAM_DOC_BASE + int(cp.get("stream_doc_offset", 0))
 
-    # stable ids within the batch under (conv_id, turn_idx); micro-batches
-    # are small relative to cluster memory, so a window is acceptable here —
-    # the batch path's two-phase assigner remains the bulk-load road
-    w = Window.orderBy("conv_id", "turn_idx")
+    # stable ids within the batch under (conv_id, turn_idx) via the same
+    # two-phase assigner as the batch path (a global Window.orderBy would
+    # collapse an availableNow backfill batch to one partition), shifted to
+    # the stream's reserved range
     docs = (
-        batch_df.withColumn("doc_id", F.row_number().over(w).cast("bigint") - 1 + F.lit(base))
+        assign_doc_ids(batch_df)
+        .withColumn("doc_id", (F.col("doc_id") + F.lit(base)).cast("bigint"))
         .withColumn(
             "doc_bucket",
             (
@@ -169,7 +171,7 @@ def finalize_stream(spark: SparkSession, store: IndexStore) -> dict:
     )
     store.write_stats(stats)
 
-    posts = _all_postings(spark, store)
+    posts = store.load_postings_df(spark)
     dictionary = (
         posts.groupBy("term")
         .agg(F.sum("n_docs").alias("df"), F.sum("cf_block").alias("cf"),
@@ -182,19 +184,3 @@ def finalize_stream(spark: SparkSession, store: IndexStore) -> dict:
     return {"n_docs": stats["n_docs"], "snapshot_id": sid}
 
 
-def _all_postings(spark: SparkSession, store: IndexStore) -> DataFrame:
-    parts = []
-    if os.path.exists(store.postings_path()):
-        parts.append(
-            spark.read.option("basePath", store.postings_path()).parquet(store.postings_path())
-            .drop("unit")
-        )
-    sroot = os.path.join(store.root, "stream_postings")
-    if os.path.exists(sroot):
-        parts.append(
-            spark.read.option("basePath", sroot).parquet(sroot).drop("batch")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out

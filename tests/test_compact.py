@@ -37,6 +37,9 @@ def hybrid_store(spark, tmp_path_factory):
     )
     q.awaitTermination(300)
     finalize_stream(spark, store)
+    # stream source/checkpoint handles for the post-compaction ingest test
+    store._test_src = str(src / "p1")
+    store._test_cp = str(root / "cp")
     return store
 
 
@@ -59,14 +62,40 @@ def test_compaction_preserves_results_and_shrinks(spark, hybrid_store):
     after = _results(spark, store)
     assert after == before  # bit-identical answers on the compacted layout
 
-    # stream segment dirs are gone; single compacted unit remains
+    # stream segment dirs are gone; single compacted unit remains, and the
+    # manifest's covered-segments list points exactly at it
     assert not os.path.exists(os.path.join(store.root, "stream_postings"))
     units = os.listdir(store.postings_path())
-    assert units == ["unit=compacted"]
+    assert len(units) == 1 and units[0].startswith("unit=compacted")
+    assert store.covered_segments() == [os.path.join("postings", units[0])]
 
     # snapshot lineage recorded
     ops = [s["operation"] for s in store.manifest()["snapshots"]]
     assert ops[-1] == "compact"
+
+
+def test_stale_segments_invisible_after_compaction(spark, hybrid_store, tmp_path):
+    """Crash-between-commit-and-cleanup simulation: a leftover stream
+    segment dir (which compaction already folded in) must NOT be unioned
+    back by readers — that double-counted every streamed posting before the
+    snapshot-aware loader."""
+    import shutil
+
+    store = hybrid_store
+    before = _results(spark, store)
+    units = os.listdir(store.postings_path())
+    assert len(units) == 1  # compacted by the earlier test
+
+    # resurrect a fake stale stream segment (copy of the live layout — the
+    # worst case: every posting duplicated if the reader unioned it)
+    stale = os.path.join(store.root, "stream_postings", "batch=999")
+    shutil.copytree(os.path.join(store.postings_path(), units[0]), stale)
+
+    after = _results(spark, store)
+    assert after == before  # stale dir ignored — no double counting
+    shutil.rmtree(os.path.join(store.root, "stream_postings"))
+
+
 
 
 def test_compaction_postings_conserved(spark, hybrid_store):
@@ -77,3 +106,30 @@ def test_compaction_postings_conserved(spark, hybrid_store):
     m = store.manifest()
     last = [s for s in m["snapshots"] if s["operation"] == "compact"][-1]
     assert last["summary"]["postings"] == total
+
+
+def test_post_compaction_stream_visible_after_refresh(spark, hybrid_store, tmp_path):
+    """New stream batches committed AFTER compaction register with the
+    covered-segments list; an open reader sees them after refresh()."""
+    from search_spark.corpus import generate_pandas as gen
+
+    store = hybrid_store
+    reader = IndexReader(spark, store)
+    n_before = reader._posts_df.agg(F.sum("n_docs")).collect()[0][0]
+
+    # append new files to the SAME source + checkpoint (batch ids continue
+    # past the committed ones — a fresh checkpoint would replay batch 0 and
+    # be correctly skipped by the exactly-once ledger)
+    extra = gen(70)
+    extra = extra[extra["conv_id"] >= "conv-000060"]
+    spark.createDataFrame(extra).coalesce(1).write.mode("append").parquet(store._test_src)
+    q = start_ingest(
+        spark, store._test_src, store, checkpoint_dir=store._test_cp, available_now=True
+    )
+    q.awaitTermination(300)
+    finalize_stream(spark, store)
+
+    # snapshot-at-open: invisible before refresh, visible after
+    assert reader._posts_df.agg(F.sum("n_docs")).collect()[0][0] == n_before
+    n_after = reader.refresh()._posts_df.agg(F.sum("n_docs")).collect()[0][0]
+    assert n_after > n_before
