@@ -213,18 +213,50 @@ def _q_simhash_pairs(spark, sf_dir):
     return dd.simhash_pairs(_docs(spark, sf_dir))
 
 
+EMB_DIM = 64
+PAIR_LSH_TABLES = 8
+PAIR_LSH_PLANES = 4
+PAIR_MAX_BAND = 1024
+
+
 def _q_ann_brute(spark, sf_dir):
     return sim.ann_brute_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
 
 def _q_cos_pairs(spark, sf_dir):
+    """Serving form: banded LSH candidates + exact cosine — no cartesian
+    anywhere in the plan (the brute all-pairs form rides the
+    embedding_top_pairs_brute entry as the verification tool)."""
+    return sim.cosine_top_pairs_lsh(
+        _emb(spark, sf_dir), PAIR_TOP_N, EMB_DIM, PAIR_LSH_TABLES, PAIR_LSH_PLANES, PAIR_MAX_BAND
+    )
+
+
+def _q_cos_pairs_brute(spark, sf_dir):
     return sim.cosine_top_pairs(_emb(spark, sf_dir), PAIR_TOP_N)
+
+
+_LSH_CACHE: dict[str, object] = {}
+
+
+def _lsh_index(spark, sf_dir):
+    """Build (once per sf_dir) the persisted partition-pruned LSH layout."""
+    from search_spark.operators.ann_index import LshIndex, build_lsh_index
+
+    if sf_dir not in _LSH_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="search_spark_lsh_")
+        build_lsh_index(spark, _emb(spark, sf_dir), root, tables=PAIR_LSH_TABLES)
+        _LSH_CACHE[sf_dir] = LshIndex(spark, root)
+    return _LSH_CACHE[sf_dir]
 
 
 def _q_ann_lsh(spark, sf_dir):
     # approximate path: driver records rows-only; recall vs brute force is
-    # pinned in tests/test_pipeline_ops.py
-    return sim.ann_lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
+    # pinned in tests/test_pipeline_ops.py.  Runs off the PERSISTED
+    # (table_id, bucket)-partitioned layout with multi-probe pruning.
+    return _lsh_index(spark, sf_dir).topk_for_ids(ANN_QUERY_IDS, ANN_K, radius=1)
 
 
 def _q_token_counts(spark, sf_dir):
@@ -362,6 +394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_brute,
         "embedding_top_pairs": _q_cos_pairs,
+        "embedding_top_pairs_brute": _q_cos_pairs_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "text_token_counts": _q_token_counts,
         "text_lang_id": _q_lang_id,
@@ -398,7 +431,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_fingerprints": osp.simhash_fingerprints_sql(),
         "dedup_simhash_pairs": osp.simhash_pairs_sql(),
         "ann_cosine_topk": osp.ann_brute_sql(ANN_QUERY_IDS, ANN_K),
-        "embedding_top_pairs": osp.cosine_top_pairs_sql(PAIR_TOP_N),
+        "embedding_top_pairs": osp.lsh_top_pairs_sql(
+            PAIR_TOP_N, EMB_DIM, PAIR_LSH_TABLES, PAIR_LSH_PLANES, PAIR_MAX_BAND
+        ),
+        "embedding_top_pairs_brute": osp.cosine_top_pairs_sql(PAIR_TOP_N),
         # ann_lsh_topk: intentionally no oracle (approximate; rows-only check)
         "text_token_counts": osp.token_counts_sql(),
         "text_lang_id": osp.lang_id_sql_query(),

@@ -91,8 +91,11 @@ def ann_brute_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFra
 def cosine_top_pairs(emb: DataFrame, n: int = 50) -> DataFrame:
     """Top-N most-similar distinct pairs (a_id < b_id) by exact cosine.
 
-    O(N²) by design — the near-dup *verification* form.  At scale, feed it
-    LSH candidates instead of the full cross join (same downstream)."""
+    O(N²) by design — the brute-force *verification* form (the same
+    exactness role as the reference's full scan, /root/reference/
+    index.go:63-81).  The serving path is :func:`cosine_top_pairs_lsh`
+    (banded candidates, no cartesian); this form cross-checks it on
+    samples and small fixtures."""
     e = with_norm(emb).select("vec_id", "embedding", "nrm")
     a = e.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
@@ -121,6 +124,12 @@ def _plane_signs(dim: int, table: int, plane: int) -> list[float]:
     ]
 
 
+#: band groups larger than this are dropped from candidate generation —
+#: an all-duplicates corpus would otherwise create one unbounded quadratic
+#: self-join group (exact/MinHash dedup is the right tool for those rows)
+MAX_BAND_SIZE = 1024
+
+
 def lsh_bucket_col(emb: Column, dim: int, table: int, planes: int = LSH_PLANES) -> Column:
     """Bucket id in [0, 2^planes) for one hash table:
     bit p = sign(emb · plane_{table,p})."""
@@ -134,7 +143,76 @@ def lsh_bucket_col(emb: Column, dim: int, table: int, planes: int = LSH_PLANES) 
     return bucket
 
 
-def lsh_bucketed(emb: DataFrame, dim: int, tables: int = LSH_TABLES) -> DataFrame:
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    dim: int,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    max_band_size: int = MAX_BAND_SIZE,
+) -> DataFrame:
+    """Banded candidate pairs: (a_id, b_id), a_id < b_id, sharing at least
+    one (table, bucket) — the embedding analogue of dedup.lsh_candidates.
+
+    Shuffle key = (table_id, bucket): join work per group is ≤
+    ``max_band_size``² by the band guard, so no key can degenerate into an
+    unbounded quadratic group (the failure mode of the all-pairs join).
+    """
+    b = lsh_bucketed(emb, dim, tables, planes).select("vec_id", "table_id", "bucket")
+    w = Window.partitionBy("table_id", "bucket")
+    kept = b.withColumn("band_n", F.count("*").over(w)).filter(
+        F.col("band_n") <= max_band_size
+    )
+    a = kept.select(F.col("vec_id").alias("a_id"), "table_id", "bucket")
+    c = kept.select(F.col("vec_id").alias("b_id"), "table_id", "bucket")
+    return (
+        a.join(c, ["table_id", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def cosine_top_pairs_lsh(
+    emb: DataFrame,
+    n: int = 50,
+    dim: int = 64,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    max_band_size: int = MAX_BAND_SIZE,
+) -> DataFrame:
+    """Top-N most-similar pairs AMONG banded LSH candidates — the serving
+    form of :func:`cosine_top_pairs` with no cartesian product anywhere in
+    the plan: candidates come from the (table_id, bucket) equi-join, then
+    exact cosine verifies only those.
+
+    Same output schema/order as the brute form; the candidate set (hence
+    possible misses of never-colliding pairs) is part of the operator's
+    defined semantics — the DuckDB oracle mirrors the banding exactly, and
+    coverage vs the brute form is pinned in tests.
+    """
+    cand = lsh_candidate_pairs(emb, dim, tables, planes, max_band_size)
+    e = with_norm(emb).select("vec_id", "embedding", "nrm")
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
+    )
+    pairs = cand.join(a, "a_id").join(b, "b_id").select(
+        "a_id",
+        "b_id",
+        F.round(
+            cosine_col(F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")) * 1e6
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    return pairs.orderBy(F.desc("cos_micro"), F.asc("a_id"), F.asc("b_id")).limit(n)
+
+
+def lsh_bucketed(
+    emb: DataFrame, dim: int, tables: int = LSH_TABLES, planes: int = LSH_PLANES
+) -> DataFrame:
     """(vec_id, embedding, nrm, table_id, bucket) — one row per hash table.
 
     At scale this is the *persisted* form: written partitioned by
@@ -148,7 +226,7 @@ def lsh_bucketed(emb: DataFrame, dim: int, tables: int = LSH_TABLES) -> DataFram
             "embedding",
             "nrm",
             F.lit(t).alias("table_id"),
-            lsh_bucket_col(F.col("embedding"), dim, t).alias("bucket"),
+            lsh_bucket_col(F.col("embedding"), dim, t, planes).alias("bucket"),
         )
         for t in range(tables)
     ]
@@ -167,6 +245,11 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = union over L hash tables of the
     query's bucket mates (multi-table sign-LSH), then exact cosine + rank.
+
+    EPHEMERAL variant (recomputes buckets per call) — kept as the
+    cross-check for the persisted, partition-pruned, multi-probe serving
+    path in operators/ann_index.py (build_lsh_index / LshIndex), which is
+    what the driver entry and any real deployment should use.
 
     Output schema matches ann_brute_topk; recall vs the brute-force
     baseline is pinned in tests."""

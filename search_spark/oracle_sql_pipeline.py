@@ -219,6 +219,59 @@ ORDER BY cos_micro DESC, a_id, b_id
 LIMIT {n}"""
 
 
+def lsh_top_pairs_sql(
+    n: int,
+    dim: int,
+    tables: int,
+    planes: int,
+    max_band_size: int,
+    emb_sql: str = EMB_SQL,
+) -> str:
+    """Mirror of similarity.cosine_top_pairs_lsh: the SAME sign-LSH banding
+    (±1 plane literals from the pinned hash spec, sequential-fold
+    projections — bit-identical to the Spark fold), the same band-size
+    guard, then exact cosine over candidates only."""
+    from .operators.similarity import _plane_signs
+
+    def bucket_expr(t: int) -> str:
+        terms = []
+        for p in range(planes):
+            arr = "[" + ", ".join(
+                "1.0" if s > 0 else "-1.0" for s in _plane_signs(dim, t, p)
+            ) + "]"
+            proj = _dot("embedding", arr)
+            terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    banded = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {t} AS table_id, {bucket_expr(t)} AS bucket FROM en"
+        for t in range(tables)
+    )
+    cos = f"{_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return f"""
+WITH {_emb_ctes(emb_sql)},
+  banded AS (
+    {banded}),
+  kept AS (
+    SELECT * FROM (
+      SELECT vec_id, table_id, bucket,
+             count(*) OVER (PARTITION BY table_id, bucket) AS band_n
+      FROM banded)
+    WHERE band_n <= {max_band_size}),
+  cand AS (
+    SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+    FROM kept x
+    JOIN kept y ON x.table_id = y.table_id AND x.bucket = y.bucket
+               AND x.vec_id < y.vec_id)
+SELECT cand.a_id, cand.b_id,
+       CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_micro
+FROM cand
+JOIN en a ON a.vec_id = cand.a_id
+JOIN en b ON b.vec_id = cand.b_id
+ORDER BY cos_micro DESC, a_id, b_id
+LIMIT {n}"""
+
+
 # -- text stats -------------------------------------------------------------
 
 def token_counts_sql(docs_sql: str = DOCS_SQL) -> str:

@@ -110,6 +110,71 @@ def test_ann_lsh_recall_vs_brute(spark):
     assert recall >= 0.3, recall  # bucketing to 1/256 of corpus keeps ≥30% here
 
 
+def test_persisted_lsh_index_recall_and_pruning(spark, tmp_path):
+    """The serving ANN path (persisted (table_id, bucket) layout +
+    multi-probe): recall@10 ≥ 0.9 vs brute at sf0.01, partition filters in
+    the scan, and bucket assignment identical between build and query."""
+    from search_spark.operators.ann_index import LshIndex, build_lsh_index
+    from search_spark.operators.similarity import ann_brute_topk
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    meta = build_lsh_index(spark, emb, str(tmp_path / "lsh"), tables=8)
+    assert meta["planes"] == 4  # auto_planes(500, 256)
+    idx = LshIndex(spark, str(tmp_path / "lsh"))
+
+    qids = [0, 1, 2, 3, 4]
+    res = idx.topk_for_ids(qids, 10, radius=1)
+    brute = {
+        (r["query_id"], r["vec_id"]) for r in ann_brute_topk(emb, qids, 10).collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in res.collect()}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.9, recall
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "table_id" in plan
+
+
+def test_lsh_top_pairs_no_cartesian_and_coverage(spark):
+    """Serving top-pairs: no cartesian in the physical plan; coverage of
+    the exact brute top-50 is pinned (deterministic banding)."""
+    from search_spark.operators.similarity import cosine_top_pairs, cosine_top_pairs_lsh
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    served = cosine_top_pairs_lsh(emb, 50, dim=64, tables=8, planes=4)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    brute = {(r["a_id"], r["b_id"]) for r in cosine_top_pairs(emb, 50).collect()}
+    got = {(r["a_id"], r["b_id"]) for r in served.collect()}
+    # moderate-similarity corpus: 8×4 banding covers most but not all of
+    # the exact top-50 (measured 38/50 — deterministic, pinned loosely)
+    assert len(brute & got) / len(brute) >= 0.7
+
+
+def test_band_size_guard_bounds_duplicate_floods(spark):
+    """An all-duplicates corpus (5k identical vectors) must NOT create an
+    unbounded quadratic band group: with max_band_size below the flood the
+    candidate set is empty and the job completes fast."""
+    import numpy as np
+
+    from search_spark.operators.similarity import lsh_candidate_pairs
+
+    rng = np.random.default_rng(7)
+    base = [float(x) for x in rng.standard_normal(8)]
+    rows = [(i, base) for i in range(5000)] + [
+        (5000 + i, [float(x) for x in rng.standard_normal(8)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cand = lsh_candidate_pairs(emb, dim=8, tables=2, planes=4, max_band_size=100)
+    ids = {r["a_id"] for r in cand.collect()} | {r["b_id"] for r in cand.collect()}
+    # the 5k-identical flood is dropped by the guard; only the 20 random
+    # vectors (band groups ≤ 100) may pair up
+    assert all(i >= 5000 for i in ids)
+
+
 def test_media_decode_stub_seam():
     from search_spark.operators.media import decode_image
 
