@@ -202,6 +202,13 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _q_dedup_ngram(spark, sf_dir):
+    # exact (uncapped) inverted join — the verification form; the capped
+    # default below is the scale configuration
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=None)
+
+
+def _q_dedup_ngram_capped(spark, sf_dir):
+    # DEFAULT path: Zipf-head shingle cap derived from corpus stats
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
@@ -390,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
         "dedup_simhash_fingerprints": _q_simhash_fps,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_cosine_topk": _q_ann_brute,
@@ -428,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": osp.dedup_exact_sql(),
         "dedup_minhash_lsh": osp.minhash_lsh_sql(),
         "dedup_ngram_jaccard": osp.ngram_jaccard_sql(),
+        "dedup_ngram_jaccard_capped": osp.ngram_jaccard_capped_sql(),
         "dedup_simhash_fingerprints": osp.simhash_fingerprints_sql(),
         "dedup_simhash_pairs": osp.simhash_pairs_sql(),
         "ann_cosine_topk": osp.ann_brute_sql(ANN_QUERY_IDS, ANN_K),

@@ -12,10 +12,11 @@ scale-up:
                   band keys → self-join per band (shuffle key =
                   (band_id, 4-minhash band key): near-uniform) → exact
                   Jaccard verification of candidates only.
-- n-gram Jaccard: inverted shingle join — the exact-pair path; shuffle
-                  key = shingle.  ``max_shingle_df`` caps Zipf-head
-                  shingles (documented approximation for the 100 TB path;
-                  default None = exact).
+- n-gram Jaccard: inverted shingle join; shuffle key = shingle.
+                  ``max_shingle_df`` caps Zipf-head shingles — the DEFAULT
+                  ("auto") derives the cap from the corpus's shingle-df
+                  histogram, because a df=d head shingle contributes d²
+                  candidate rows; exact mode (None) is opt-in.
 - SimHash:        32-bit tf-weighted fingerprint in ONE hash-aggregate
                   (32 conditional sums — no explode-by-bit), byte-banded
                   candidate join, Hamming-distance filter.
@@ -43,6 +44,13 @@ NGRAM_W = 3          # shingle width (tokens)
 JACCARD_T = 0.5      # near-dup threshold (pairs at/above are dups)
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 2  # true near-dups sit at 0-2; background starts ≥3 (measured)
+#: band groups larger than this are dropped from candidate generation — an
+#: all-duplicates flood would otherwise form ONE quadratic join group (those
+#: rows are exact-dedup's job, and they'd already be caught there)
+MAX_BAND_SIZE = 1024
+#: auto shingle-df cap: smallest df covering this fraction of distinct
+#: shingles (the Zipf head above it is dropped from candidate generation)
+SHINGLE_DF_QUANTILE = 0.995
 
 
 # -- shared shingling -------------------------------------------------------
@@ -105,7 +113,30 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame) -> DataFrame:
+def _guarded_band_pairs(banded: DataFrame, max_band_size: int) -> DataFrame:
+    """Self-join a (doc_id, band_id, band_key) table into candidate pairs,
+    dropping band groups larger than ``max_band_size`` first — the shuffle
+    key is (band_id, band_key), so the guard bounds every join group at
+    ``max_band_size``² pairs regardless of how degenerate the corpus is."""
+    w = Window.partitionBy("band_id", "band_key")
+    kept = banded.withColumn("band_n", F.count("*").over(w)).filter(
+        F.col("band_n") <= max_band_size
+    )
+    a = kept.alias("a")
+    bb = kept.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def lsh_candidates(sig: DataFrame, max_band_size: int = MAX_BAND_SIZE) -> DataFrame:
     """Banded self-join: pairs sharing ≥1 of MINHASH_BANDS band keys."""
     bands = []
     for b in range(MINHASH_BANDS):
@@ -120,18 +151,7 @@ def lsh_candidates(sig: DataFrame) -> DataFrame:
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
-    a = banded.alias("a")
-    bb = banded.alias("b")
-    return (
-        a.join(
-            bb,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
-    )
+    return _guarded_band_pairs(banded, max_band_size)
 
 
 def _verified_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
@@ -161,30 +181,62 @@ def _verified_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFr
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = JACCARD_T, w: int = NGRAM_W
+    docs: DataFrame,
+    threshold: float = JACCARD_T,
+    w: int = NGRAM_W,
+    max_band_size: int = MAX_BAND_SIZE,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH candidates + exact verification."""
     sh = doc_shingles(docs, w)
-    cand = lsh_candidates(minhash_signatures(sh))
+    cand = lsh_candidates(minhash_signatures(sh), max_band_size)
     return _verified_pairs(cand, sh, threshold)
 
 
 # -- 3. exact n-gram Jaccard (inverted-index join) --------------------------
 
+def auto_shingle_df_cap(sh: DataFrame, quantile: float = SHINGLE_DF_QUANTILE) -> int:
+    """Derive the Zipf-head cutoff FROM CORPUS STATS: the smallest df value
+    covering ≥ ``quantile`` of distinct shingles.
+
+    Computed from the df *histogram* (distinct df values — thousands of
+    rows at any corpus size), collected to the driver: an exact integer
+    order statistic both engines reproduce bit-for-bit (the DuckDB oracle
+    uses the equivalent cume_dist window — oracle_sql_pipeline.py).
+    """
+    dfs = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    hist = sorted(
+        (int(r["sdf"]), int(r["n"]))
+        for r in dfs.groupBy("sdf").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(n for _, n in hist)
+    acc = 0
+    for sdf, n in hist:
+        acc += n
+        if acc >= quantile * total:
+            return sdf
+    return hist[-1][0] if hist else 1
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = JACCARD_T,
     w: int = NGRAM_W,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None | str = "auto",
 ) -> DataFrame:
     """All pairs with Jaccard ≥ threshold, via self-join on shingle.
 
     ``max_shingle_df`` drops Zipf-head shingles from *candidate generation*
     (pairs sharing only ultra-common shingles are skipped — the standard
     scale approximation); verification stays exact over all shingles.
+    The DEFAULT ``"auto"`` derives the cap from the corpus's shingle-df
+    distribution (:func:`auto_shingle_df_cap`) — a df=d head shingle
+    contributes d² candidate rows to the inverted join, so the uncapped
+    exact mode (``None``) is opt-in for small corpora / verification only.
     """
     sh = doc_shingles(docs, w)
     cand_sh = sh
+    if max_shingle_df == "auto":
+        max_shingle_df = auto_shingle_df_cap(sh)
     if max_shingle_df is not None:
         dfs = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
         cand_sh = sh.join(
@@ -234,10 +286,14 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_band_size: int = MAX_BAND_SIZE,
 ) -> DataFrame:
     """Candidate pairs whose byte-banded SimHashes collide, filtered by
-    Hamming distance ≤ max_hamming.  Output (a_id, b_id, hamming INT)."""
+    Hamming distance ≤ max_hamming.  Output (a_id, b_id, hamming INT).
+    Band groups above ``max_band_size`` are dropped (a corpus of identical
+    fingerprints would otherwise form one unbounded join group)."""
     fps = simhash_fingerprints(docs)
     bands = []
     for i in range(4):
@@ -252,8 +308,12 @@ def simhash_pairs(
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
-    a = banded.alias("a")
-    b = banded.alias("b")
+    w = Window.partitionBy("band_id", "band_key")
+    kept = banded.withColumn("band_n", F.count("*").over(w)).filter(
+        F.col("band_n") <= max_band_size
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(
             b,

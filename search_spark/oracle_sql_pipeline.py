@@ -27,7 +27,9 @@ from .functions.textstats import (
 from .functions.hashing import rolling_fp_sql
 from .operators.dedup import (
     JACCARD_T,
+    MAX_BAND_SIZE,
     NGRAM_W,
+    SHINGLE_DF_QUANTILE,
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
 )
@@ -107,11 +109,17 @@ WITH {_shingle_ctes(docs_sql)},
     FROM sh GROUP BY doc_id),
   banded AS (
     {bands}),
+  kept AS (
+    SELECT * FROM (
+      SELECT doc_id, band_id, band_key,
+             count(*) OVER (PARTITION BY band_id, band_key) AS band_n
+      FROM banded)
+    WHERE band_n <= {MAX_BAND_SIZE}),
   cand AS (
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM banded a
-    JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                 AND a.doc_id < b.doc_id),
+    FROM kept a
+    JOIN kept b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
   {_jaccard_verify('cand', threshold)}"""
 
 
@@ -121,6 +129,32 @@ WITH {_shingle_ctes(docs_sql)},
   cand AS (
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+  {_jaccard_verify('cand', threshold)}"""
+
+
+def ngram_jaccard_capped_sql(
+    threshold: float = JACCARD_T,
+    quantile: float = SHINGLE_DF_QUANTILE,
+    docs_sql: str = DOCS_SQL,
+) -> str:
+    """Mirror of dedup.ngram_jaccard_pairs with the DEFAULT auto cap: the
+    cap is the smallest shingle-df covering ≥ quantile of distinct
+    shingles (cume_dist — the SQL form of auto_shingle_df_cap's histogram
+    walk; both are exact integer order statistics)."""
+    return f"""
+WITH {_shingle_ctes(docs_sql)},
+  dfs AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle),
+  cut AS (
+    SELECT min(sdf) AS cap FROM (
+      SELECT sdf, cume_dist() OVER (ORDER BY sdf) AS cd FROM dfs)
+    WHERE cd >= {quantile}),
+  kept AS (
+    SELECT sh.doc_id, sh.shingle FROM sh
+    JOIN dfs ON dfs.shingle = sh.shingle
+    WHERE dfs.sdf <= (SELECT cap FROM cut)),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
   {_jaccard_verify('cand', threshold)}"""
 
 
@@ -165,12 +199,18 @@ def simhash_pairs_sql(
 WITH {_simhash_ctes(docs_sql)},
   banded AS (
     {bands}),
+  kept AS (
+    SELECT * FROM (
+      SELECT doc_id, simhash, band_id, band_key,
+             count(*) OVER (PARTITION BY band_id, band_key) AS band_n
+      FROM banded)
+    WHERE band_n <= {MAX_BAND_SIZE}),
   pairs AS (
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM banded a
-    JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
-                 AND a.doc_id < b.doc_id)
+    FROM kept a
+    JOIN kept b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)
 SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= {max_hamming}"""
 
 

@@ -154,6 +154,44 @@ def test_lsh_top_pairs_no_cartesian_and_coverage(spark):
     assert len(brute & got) / len(brute) >= 0.7
 
 
+def test_dedup_band_guard_survives_identical_flood(spark):
+    """10k identical docs: MinHash banding would form one quadratic group;
+    the guard drops it and the job completes with only the distinct docs'
+    pairs considered (identical rows are exact-dedup's job)."""
+    from search_spark.operators.dedup import lsh_candidates, minhash_signatures, doc_shingles
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(10_000)]
+    rows += [(10_000 + i, f"unique text number {i} with words w{i} w{i+1} w{i+2} filler") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = minhash_signatures(doc_shingles(docs))
+    cand = lsh_candidates(sig, max_band_size=100)
+    got = cand.collect()
+    ids = {r["a_id"] for r in got} | {r["b_id"] for r in got}
+    assert all(i >= 10_000 for i in ids)  # flood dropped, job bounded
+
+
+def test_auto_shingle_df_cap_matches_sql_rule(spark, ddb):
+    """The Spark histogram walk and the DuckDB cume_dist rule must derive
+    the SAME cap — that equality is what keeps the capped entry green."""
+    from search_spark.analyzer import sql_tokens
+    from search_spark.operators.dedup import auto_shingle_df_cap, doc_shingles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    cap = auto_shingle_df_cap(doc_shingles(docs))
+    toks = sql_tokens("text")
+    sql = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len({toks}) - 2),
+    i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))) AS shingle
+  FROM documents),
+dfs AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle)
+SELECT min(sdf) FROM (SELECT sdf, cume_dist() OVER (ORDER BY sdf) cd FROM dfs)
+WHERE cd >= 0.995"""
+    assert cap == ddb.execute(sql).fetchone()[0]
+    assert cap >= 1
+
+
 def test_band_size_guard_bounds_duplicate_floods(spark):
     """An all-duplicates corpus (5k identical vectors) must NOT create an
     unbounded quadratic band group: with max_band_size below the flood the
