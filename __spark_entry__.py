@@ -22,6 +22,7 @@ from search_spark.analyzer import tokenize, tokens_col
 from search_spark.corpus import transcripts_from_documents
 from search_spark.operators.build import build_df_index, score_query_df
 from search_spark.operators.docids import assign_doc_ids
+from search_spark.sources.queryset import load_queryset_py
 
 # Fixed query strings over the documents vocabulary (see /root/testdata).
 Q_HEAD = "the fast scan"
@@ -168,6 +169,63 @@ def _q_wand_batch(spark, sf_dir):
     res = reader.batch_search([("h", Q_HEAD), ("m", Q_MIX), ("r", Q_RARE)], _TOPK)
     return res.select(
         "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
+QUERYSET_PATH = __file__.rsplit("/", 1)[0] + "/fixtures/queries.tsv"
+
+
+def _q_wand_queryset(spark, sf_dir):
+    """The reference-eval shape end-to-end: load the checked-in TSV query
+    set (SURVEY.md §2.3 #23, loadSICK analogue) and batch-search all of it
+    against the persisted index."""
+    from search_spark.sources.queryset import load_queryset
+
+    reader = _wand_reader(spark, sf_dir)
+    queries = load_queryset(spark, QUERYSET_PATH)
+    res = reader.batch_search(queries, _TOPK)
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
+_COMPACT_CACHE: dict[str, object] = {}
+
+
+def _compacted_reader(spark: SparkSession, sf_dir: str):
+    """Separate store (the WAND cache store must stay uncompacted for its
+    own entries): build from a streaming-style multi-segment layout, then
+    compact — so the serving entry exercises merge + snapshot repointing."""
+    from search_spark.operators.compact import compact_index
+    from search_spark.operators.indexer import build_index
+    from search_spark.operators.wand import IndexReader
+    from search_spark.sources.index_store import IndexStore
+
+    if sf_dir not in _COMPACT_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="search_spark_cidx_")
+        store = IndexStore(root, doc_bucket_size=2048, term_buckets=8)
+        tr = transcripts_from_documents(spark, sf_dir)
+        build_index(spark, tr, store, n_units=3)
+        compact_index(spark, store)
+        _COMPACT_CACHE[sf_dir] = IndexReader(spark, store)
+    return _COMPACT_CACHE[sf_dir]
+
+
+def _q_wand_compacted(spark, sf_dir):
+    """Query served from the post-compaction layout — compaction
+    correctness rides the driver gate, not only pytest (results must be
+    rank/score-identical to the uncompacted bm25_wand_mix oracle)."""
+    reader = _compacted_reader(spark, sf_dir)
+    res = reader.batch_search([("q", Q_MIX)], _TOPK)
+    return res.select(
         "doc_id",
         F.col("rank").cast("int").alias("rank"),
         F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
@@ -394,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_head": _q_wand_head,
         "bm25_wand_mix": _q_wand_mix,
         "bm25_wand_batch": _q_wand_batch,
+        "bm25_wand_queryset": _q_wand_queryset,
+        "bm25_wand_compacted": _q_wand_compacted,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -433,6 +493,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_batch": osql.bm25_batch_sql(
             [("h", Q_HEAD), ("m", Q_MIX), ("r", Q_RARE)], _TOPK
         ),
+        "bm25_wand_queryset": osql.bm25_batch_sql(
+            load_queryset_py(QUERYSET_PATH), _TOPK
+        ),
+        "bm25_wand_compacted": osql.bm25_topk_sql(Q_MIX, _TOPK),
         "dedup_exact": osp.dedup_exact_sql(),
         "dedup_minhash_lsh": osp.minhash_lsh_sql(),
         "dedup_ngram_jaccard": osp.ngram_jaccard_sql(),

@@ -1,1 +1,1 @@
-from . import bm25, sim, text  # noqa: F401
+from . import bm25  # noqa: F401

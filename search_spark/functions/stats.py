@@ -57,14 +57,29 @@ def pearson(df: DataFrame, x: str, y: str) -> DataFrame:
 
 
 def spearman(df: DataFrame, x: str, y: str) -> DataFrame:
-    """(rho_micro BIGINT): Spearman ρ via dense-rank → Pearson.
+    """(rho_micro BIGINT): Spearman ρ with STANDARD average-rank tie
+    handling (matches ``pandas.corr(method='spearman')`` / scipy, and the
+    reference's rank transform at /root/reference/internal/eval/
+    main.go:124-161).
 
-    Uses ``rank()`` (average-free, competition ranking) over each column —
-    the same transform on both engines; ties get identical ranks, so the
-    rank columns are identical integer vectors.
+    Average ranks of a tie group are half-integers, which would break the
+    integer-moment bit-stability trick — so both engines rank with the
+    DOUBLED average rank ``2·avg_rank = 2·rank() + tie_count − 1`` (always
+    an integer; Pearson is invariant under the affine x→2x, so ρ is
+    unchanged).  The global-orderBy windows are the textbook one-partition
+    collapse — fine here because eval metrics run over driver-scale
+    samples, not the corpus (documented trade-off).
     """
-    rx = F.rank().over(Window.orderBy(F.col(x).asc())).alias("_rx")
-    ry = F.rank().over(Window.orderBy(F.col(y).asc())).alias("_ry")
+    rx = (
+        2 * F.rank().over(Window.orderBy(F.col(x).asc()))
+        + F.count("*").over(Window.partitionBy(F.col(x)))
+        - 1
+    ).alias("_rx")
+    ry = (
+        2 * F.rank().over(Window.orderBy(F.col(y).asc()))
+        + F.count("*").over(Window.partitionBy(F.col(y)))
+        - 1
+    ).alias("_ry")
     ranked = df.select(rx, ry)
     m = _moments(ranked, "_rx", "_ry")
     return m.select(F.round(_pearson_from_moments(m) * 1e6).cast("bigint").alias("rho_micro"))
@@ -106,11 +121,12 @@ SELECT CAST(round(({_PEARSON_EXPR}) * 1e6) AS BIGINT) AS r_micro FROM m"""
 
 
 def spearman_sql(rel_sql: str, x: str, y: str) -> str:
+    """Doubled-average-rank Spearman — mirrors :func:`spearman` exactly."""
     return f"""
 WITH rel AS ({rel_sql}),
   ranked AS (
-    SELECT rank() OVER (ORDER BY {x} ASC) AS _rx,
-           rank() OVER (ORDER BY {y} ASC) AS _ry
+    SELECT 2 * rank() OVER (ORDER BY {x} ASC) + count(*) OVER (PARTITION BY {x}) - 1 AS _rx,
+           2 * rank() OVER (ORDER BY {y} ASC) + count(*) OVER (PARTITION BY {y}) - 1 AS _ry
     FROM rel),{_moments_sql('ranked', '_rx', '_ry')}
 SELECT CAST(round(({_PEARSON_EXPR}) * 1e6) AS BIGINT) AS rho_micro FROM m"""
 

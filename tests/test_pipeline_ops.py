@@ -213,6 +213,26 @@ def test_band_size_guard_bounds_duplicate_floods(spark):
     assert all(i >= 5000 for i in ids)
 
 
+def test_spearman_average_rank_matches_pandas(spark, ddb):
+    """Standard tie handling: ρ must equal pandas' average-rank Spearman
+    (hence scipy / the reference's rank transform), not just this repo's
+    own oracle — three-way bit-identity on tie-heavy data."""
+    import numpy as np
+    import pandas as pd
+
+    from search_spark.functions.stats import spearman, spearman_sql
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 50, 400).astype(np.int64)
+    y = (x * 3 + rng.integers(0, 40, 400)).astype(np.int64)
+    pdf = pd.DataFrame({"x": x, "y": y})
+    ref = round(pdf.corr(method="spearman").iloc[0, 1] * 1e6)
+    got = spearman(spark.createDataFrame(pdf), "x", "y").collect()[0][0]
+    ddb.register("sp_rel", pdf)
+    want = ddb.execute(spearman_sql("SELECT x, y FROM sp_rel", "x", "y")).fetchone()[0]
+    assert got == want == ref
+
+
 def test_media_decode_stub_seam():
     from search_spark.operators.media import decode_image
 
