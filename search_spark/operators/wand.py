@@ -334,26 +334,47 @@ class IndexReader:
         self.term_buckets = store.manifest()["term_buckets"]
         self.refresh()
 
+    #: driver-side term-cache bound (≈ tens of MB at the cap; reset, not
+    #: LRU-tracked — a full reset is rare and the next queries re-warm it)
+    TERM_CACHE_MAX = 1_000_000
+
     def refresh(self) -> "IndexReader":
         """Re-open the store's CURRENT snapshot: re-reads stats, dictionary
         and the postings file listing (new stream segments / compacted
-        layouts become visible).  Cheap — three metadata reads, no data."""
+        layouts become visible) and drops the term cache (idf depends on
+        the snapshot's N/df).  Cheap — three metadata reads, no data."""
         self.stats = self.store.stats()
         self._dict_df = self.spark.read.parquet(self.store.dictionary_path)
         self._posts_df = self.store.load_postings_df(self.spark)
+        # term → (idf, term_bucket), or None for known-absent terms —
+        # negative entries stop OOV terms from re-running the lookup job
+        self._term_cache: dict[str, tuple[float, int] | None] = {}
         return self
 
     def _dictionary_rows(self, terms: list[str]) -> dict[str, tuple[float, int]]:
-        """term → (idf, term_bucket) in ONE job (the bucket is persisted in
-        the dictionary at finalize, so no per-term expression evals)."""
-        if not terms:
-            return {}
-        rows = (
-            self._dict_df.filter(F.col("term").isin(terms))
-            .select("term", "idf", "term_bucket")
-            .collect()
-        )
-        return {r["term"]: (float(r["idf"]), int(r["term_bucket"])) for r in rows}
+        """term → (idf, term_bucket).  ONE Spark job for the batch's UNSEEN
+        terms only (the bucket is persisted in the dictionary at finalize,
+        so no per-term expression evals); terms repeat heavily across a
+        serving session's queries — Zipf again — so steady-state batches
+        often skip the lookup job entirely."""
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            rows = (
+                self._dict_df.filter(F.col("term").isin(missing))
+                .select("term", "idf", "term_bucket")
+                .collect()
+            )
+            found = {r["term"]: (float(r["idf"]), int(r["term_bucket"])) for r in rows}
+            if len(self._term_cache) + len(missing) > self.TERM_CACHE_MAX:
+                self._term_cache = {}
+            for t in missing:
+                self._term_cache[t] = found.get(t)
+        out = {}
+        for t in terms:
+            v = self._term_cache.get(t)
+            if v is not None:
+                out[t] = v
+        return out
 
     def candidate_blocks(self, terms: list[str], buckets: list[int] | None = None) -> DataFrame:
         """Scan only the term_bucket partitions + terms of the query:

@@ -92,3 +92,23 @@ def test_submit_build_then_query(tmp_path):
 
     n = duckdb.sql(f"select count(*) from '{tmp_path}/res.parquet/*.parquet'").fetchone()[0]
     assert n == 10  # 2 queries × k=5
+
+    # interactive REPL (example/main.go:25-54 analogue) over the same store:
+    # two queries + :refresh + :quit piped through stdin
+    repl = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "repl.py"),
+            "--store", store,
+            "-k", "3",
+            "--master", "local[4]",
+        ],
+        input="the fast scan\n:refresh\nmerge window\n:quit\n",
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert repl.returncode == 0, repl.stderr[-2000:]
+    assert "★" in repl.stdout and "refreshed:" in repl.stdout
+    assert repl.stdout.count("search>") >= 4
