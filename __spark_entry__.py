@@ -361,8 +361,25 @@ def _q_fingerprints(spark, sf_dir):
     )
 
 
+NEAR_DUP_COS_T = 0.4  # corpus-specific: top pair cosines sit at 0.40-0.51
+
+
+def _q_cos_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the dedup-family threshold form)."""
+    return sim.cosine_near_dup_pairs(
+        _emb(spark, sf_dir), NEAR_DUP_COS_T, EMB_DIM, PAIR_LSH_TABLES, PAIR_LSH_PLANES,
+        PAIR_MAX_BAND,
+    )
+
+
 def _q_media_meta(spark, sf_dir):
     return md.media_metadata(md.attach_payload(_docs(spark, sf_dir)))
+
+
+def _q_media_resize(spark, sf_dir):
+    """Decode → resize-plan: JVM integer expressions over the mapInPandas
+    metadata stage (the pixel kernel itself is the documented library seam)."""
+    return md.resize_plan(md.media_metadata(md.attach_payload(_docs(spark, sf_dir))))
 
 
 def _q_frame_sample(spark, sf_dir):
@@ -468,7 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_fingerprints": _q_fingerprints,
+        "dedup_embedding_cosine": _q_cos_near_dups,
         "media_metadata": _q_media_meta,
+        "media_resize": _q_media_resize,
         "media_frame_sample": _q_frame_sample,
         "bm25_topk_rehydrated": _q_bm25_rehydrated,
         "events_windowed": _q_events_windowed,
@@ -513,7 +532,11 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": osp.lang_id_sql_query(),
         "text_quality": osp.quality_sql_query(),
         "text_fingerprints": osp.fingerprints_sql(),
+        "dedup_embedding_cosine": osp.lsh_near_dup_sql(
+            NEAR_DUP_COS_T, EMB_DIM, PAIR_LSH_TABLES, PAIR_LSH_PLANES, PAIR_MAX_BAND
+        ),
         "media_metadata": osp.media_metadata_sql(),
+        "media_resize": osp.media_resize_sql(),
         "media_frame_sample": osp.frame_sample_sql(),
         "bm25_topk_rehydrated": f"""
 WITH topk AS ({osql.bm25_topk_sql(Q_MIX, _TOPK)})

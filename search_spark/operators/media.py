@@ -108,6 +108,41 @@ def media_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, schema=MEDIA_META_SCHEMA)
 
 
+#: resize-plan target: longest side after resize (training-data thumbnail)
+RESIZE_MAX_SIDE = 256
+
+
+def resize_plan(meta: DataFrame, max_side: int = RESIZE_MAX_SIDE) -> DataFrame:
+    """Aspect-preserving resize plan over decoded metadata — the
+    transform-stage shape between decode and re-encode in an image
+    pipeline.  Pure JVM integer expressions over :func:`media_metadata`
+    output (no UDF: the *plan* is scalar arithmetic; only the pixel work —
+    absent here with the decode libs — would be Arrow-batched Python).
+
+    new dims = dims scaled so max(w,h) == max_side when larger, else
+    unchanged; integer math (``div``) so the DuckDB oracle reproduces it
+    exactly.  Output (doc_id, width, height, new_width, new_height,
+    resized BOOLEAN).
+    """
+    mx = F.greatest(F.col("width"), F.col("height"))
+    need = mx > max_side
+    # div = exact integer division (both engines), no FP rounding to reason about
+    new_w = F.when(need, F.expr(f"div(width * {max_side}, greatest(width, height))")).otherwise(
+        F.col("width")
+    )
+    new_h = F.when(need, F.expr(f"div(height * {max_side}, greatest(width, height))")).otherwise(
+        F.col("height")
+    )
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(new_w.cast("int"), F.lit(1)).alias("new_width"),
+        F.greatest(new_h.cast("int"), F.lit(1)).alias("new_height"),
+        need.alias("resized"),
+    )
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

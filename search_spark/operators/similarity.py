@@ -172,6 +172,27 @@ def lsh_candidate_pairs(
     )
 
 
+def _exact_cosine_of_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
+    """(a_id, b_id) → (a_id, b_id, cos_micro): exact verification join —
+    candidates shuffle on a_id then b_id (uniform id keys, bounded work)."""
+    e = with_norm(emb).select("vec_id", "embedding", "nrm")
+    a = e.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
+    )
+    return cand.join(a, "a_id").join(b, "b_id").select(
+        "a_id",
+        "b_id",
+        F.round(
+            cosine_col(F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")) * 1e6
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+
+
 def cosine_top_pairs_lsh(
     emb: DataFrame,
     n: int = 50,
@@ -191,23 +212,31 @@ def cosine_top_pairs_lsh(
     coverage vs the brute form is pinned in tests.
     """
     cand = lsh_candidate_pairs(emb, dim, tables, planes, max_band_size)
-    e = with_norm(emb).select("vec_id", "embedding", "nrm")
-    a = e.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
-    )
-    b = e.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
-    )
-    pairs = cand.join(a, "a_id").join(b, "b_id").select(
-        "a_id",
-        "b_id",
-        F.round(
-            cosine_col(F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")) * 1e6
-        )
-        .cast("bigint")
-        .alias("cos_micro"),
-    )
+    pairs = _exact_cosine_of_pairs(cand, emb)
     return pairs.orderBy(F.desc("cos_micro"), F.asc("a_id"), F.asc("b_id")).limit(n)
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    max_band_size: int = MAX_BAND_SIZE,
+) -> DataFrame:
+    """Embedding-cosine NEAR-DUP pairs (the dedup-family form): every
+    banded candidate pair with cosine ≥ threshold, output
+    (a_id, b_id, cos_micro).
+
+    Same LSH-candidates → exact-verify shape as MinHash dedup: threshold
+    semantics instead of top-N, so a pipeline can drop/cluster near-dup
+    embeddings the same way it drops near-dup text.  Recall depends on the
+    banding (higher thresholds → higher collision probability → higher
+    recall); the DuckDB oracle mirrors the banding, and sign-LSH theory
+    gives per-pair collision ≥ 1-(1-(1-acos(τ)/π)^planes)^tables at τ."""
+    cand = lsh_candidate_pairs(emb, dim, tables, planes, max_band_size)
+    pairs = _exact_cosine_of_pairs(cand, emb)
+    return pairs.filter(F.col("cos_micro") >= int(round(threshold * 1e6)))
 
 
 def lsh_bucketed(

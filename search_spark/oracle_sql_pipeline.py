@@ -33,7 +33,7 @@ from .operators.dedup import (
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
 )
-from .operators.media import FAKE_MIN_DIM, FAKE_W_MOD, FRAME_STEP
+from .operators.media import FAKE_MIN_DIM, FAKE_W_MOD, FRAME_STEP, RESIZE_MAX_SIDE
 
 assert NGRAM_W == 3, "shingle SQL below is written for w=3"
 
@@ -259,18 +259,11 @@ ORDER BY cos_micro DESC, a_id, b_id
 LIMIT {n}"""
 
 
-def lsh_top_pairs_sql(
-    n: int,
-    dim: int,
-    tables: int,
-    planes: int,
-    max_band_size: int,
-    emb_sql: str = EMB_SQL,
-) -> str:
-    """Mirror of similarity.cosine_top_pairs_lsh: the SAME sign-LSH banding
-    (±1 plane literals from the pinned hash spec, sequential-fold
-    projections — bit-identical to the Spark fold), the same band-size
-    guard, then exact cosine over candidates only."""
+def _lsh_cand_ctes(dim: int, tables: int, planes: int, max_band_size: int) -> str:
+    """Banded sign-LSH candidate CTEs — the SAME banding as
+    similarity.lsh_candidate_pairs (±1 plane literals from the pinned hash
+    spec, sequential-fold projections — bit-identical to the Spark fold)
+    with the same band-size guard.  Expects an ``en`` CTE in scope."""
     from .operators.similarity import _plane_signs
 
     def bucket_expr(t: int) -> str:
@@ -287,9 +280,7 @@ def lsh_top_pairs_sql(
         f"SELECT vec_id, {t} AS table_id, {bucket_expr(t)} AS bucket FROM en"
         for t in range(tables)
     )
-    cos = f"{_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
     return f"""
-WITH {_emb_ctes(emb_sql)},
   banded AS (
     {banded}),
   kept AS (
@@ -302,7 +293,21 @@ WITH {_emb_ctes(emb_sql)},
     SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
     FROM kept x
     JOIN kept y ON x.table_id = y.table_id AND x.bucket = y.bucket
-               AND x.vec_id < y.vec_id)
+               AND x.vec_id < y.vec_id)"""
+
+
+def lsh_top_pairs_sql(
+    n: int,
+    dim: int,
+    tables: int,
+    planes: int,
+    max_band_size: int,
+    emb_sql: str = EMB_SQL,
+) -> str:
+    """Mirror of similarity.cosine_top_pairs_lsh."""
+    cos = f"{_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return f"""
+WITH {_emb_ctes(emb_sql)},{_lsh_cand_ctes(dim, tables, planes, max_band_size)}
 SELECT cand.a_id, cand.b_id,
        CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_micro
 FROM cand
@@ -310,6 +315,27 @@ JOIN en a ON a.vec_id = cand.a_id
 JOIN en b ON b.vec_id = cand.b_id
 ORDER BY cos_micro DESC, a_id, b_id
 LIMIT {n}"""
+
+
+def lsh_near_dup_sql(
+    threshold: float,
+    dim: int,
+    tables: int,
+    planes: int,
+    max_band_size: int,
+    emb_sql: str = EMB_SQL,
+) -> str:
+    """Mirror of similarity.cosine_near_dup_pairs (threshold form)."""
+    cos = f"{_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return f"""
+WITH {_emb_ctes(emb_sql)},{_lsh_cand_ctes(dim, tables, planes, max_band_size)}
+SELECT * FROM (
+  SELECT cand.a_id, cand.b_id,
+         CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_micro
+  FROM cand
+  JOIN en a ON a.vec_id = cand.a_id
+  JOIN en b ON b.vec_id = cand.b_id)
+WHERE cos_micro >= {int(round(threshold * 1e6))}"""
 
 
 # -- text stats -------------------------------------------------------------
@@ -365,6 +391,28 @@ SELECT doc_id,
        CAST((({h}) // {FAKE_W_MOD}) % {FAKE_W_MOD} + {FAKE_MIN_DIM} AS INT) AS height,
        'FAKE' AS format
 FROM docs"""
+
+
+def media_resize_sql(max_side: int = RESIZE_MAX_SIDE, docs_sql: str = DOCS_SQL) -> str:
+    """Mirror of media.resize_plan over the fake-decoded dims (integer
+    division on both engines — exact)."""
+    h = h32_sql("text")
+    return f"""
+WITH docs AS ({docs_sql}),
+  meta AS (
+    SELECT doc_id,
+           CAST(({h}) % {FAKE_W_MOD} + {FAKE_MIN_DIM} AS INT) AS width,
+           CAST((({h}) // {FAKE_W_MOD}) % {FAKE_W_MOD} + {FAKE_MIN_DIM} AS INT) AS height
+    FROM docs)
+SELECT doc_id, width, height,
+       CAST(greatest(CASE WHEN greatest(width, height) > {max_side}
+                          THEN (width * {max_side}) // greatest(width, height)
+                          ELSE width END, 1) AS INT) AS new_width,
+       CAST(greatest(CASE WHEN greatest(width, height) > {max_side}
+                          THEN (height * {max_side}) // greatest(width, height)
+                          ELSE height END, 1) AS INT) AS new_height,
+       greatest(width, height) > {max_side} AS resized
+FROM meta"""
 
 
 def frame_sample_sql(docs_sql: str = DOCS_SQL) -> str:
