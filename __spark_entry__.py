@@ -18,8 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from search_spark import oracle_sql as osql
-from search_spark.analyzer import tokenize, tokens_col
-from search_spark.corpus import transcripts_from_documents
+from search_spark.analyzer import sql_tokens, tokenize, tokens_col
+from search_spark.corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS, transcripts_from_documents
 from search_spark.operators.build import build_df_index, score_query_df
 from search_spark.operators.docids import assign_doc_ids
 from search_spark.sources.queryset import load_queryset_py
@@ -395,6 +395,12 @@ def _eval_pairs(spark, sf_dir):
     )
 
 
+def _an_sql():
+    from search_spark.operators import analytics
+
+    return analytics
+
+
 _EVAL_REL_SQL = (
     "SELECT CAST(n_chars AS BIGINT) AS n_chars, "
     "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS re_tokens "
@@ -418,6 +424,40 @@ def _q_eval_mse(spark, sf_dir):
     from search_spark.functions.stats import mse
 
     return mse(_eval_pairs(spark, sf_dir), "n_chars", "re_tokens")
+
+
+def _q_pricing_summary(spark, sf_dir):
+    from search_spark.operators import analytics as an
+
+    return an.pricing_summary(spark, sf_dir)
+
+
+def _q_shipping_priority(spark, sf_dir):
+    from search_spark.operators import analytics as an
+
+    return an.shipping_priority(spark, sf_dir)
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    from search_spark.operators import analytics as an
+
+    return an.revenue_by_nation(spark, sf_dir)
+
+
+def _q_conversations_summary(spark, sf_dir):
+    """Batch twin of the stateful-streaming sessionizer (streaming
+    convergence to this aggregation is pinned in
+    tests/test_streaming_stateful.py)."""
+    from search_spark.streaming.sessionize import conversation_summary
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return conversation_summary(tr).select(
+        "conv_id",
+        "n_turns",
+        "total_tokens",
+        F.col("first_ts").cast("string").alias("first_ts"),
+        F.col("last_ts").cast("string").alias("last_ts"),
+    )
 
 
 def _q_events_windowed(spark, sf_dir):
@@ -490,7 +530,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_frame_sample": _q_frame_sample,
         "bm25_topk_rehydrated": _q_bm25_rehydrated,
+        "conversations_summary": _q_conversations_summary,
         "events_windowed": _q_events_windowed,
+        "tpch_pricing_summary": _q_pricing_summary,
+        "tpch_shipping_priority": _q_shipping_priority,
+        "tpch_revenue_by_nation": _q_revenue_by_nation,
         "eval_pearson": _q_eval_pearson,
         "eval_spearman": _q_eval_spearman,
         "eval_mse": _q_eval_mse,
@@ -542,6 +586,14 @@ def oracle_sql() -> dict[str, str]:
 WITH topk AS ({osql.bm25_topk_sql(Q_MIX, _TOPK)})
 SELECT topk.doc_id, topk.rank, topk.score_micro, documents.text
 FROM topk JOIN documents ON documents.doc_id = topk.doc_id""",
+        "conversations_summary": f"""
+WITH tr AS ({SQL_TRANSCRIPTS_FROM_DOCUMENTS})
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS total_tokens,
+       CAST(min(ts) AS VARCHAR) AS first_ts,
+       CAST(max(ts) AS VARCHAR) AS last_ts
+FROM tr GROUP BY conv_id""",
         "events_windowed": """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
        event_type,
@@ -550,6 +602,9 @@ SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
 FROM events
 GROUP BY 1, 2""",
+        "tpch_pricing_summary": _an_sql().pricing_summary_sql(),
+        "tpch_shipping_priority": _an_sql().shipping_priority_sql(),
+        "tpch_revenue_by_nation": _an_sql().revenue_by_nation_sql(),
         "eval_pearson": stats_sql.pearson_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
         "eval_spearman": stats_sql.spearman_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
         "eval_mse": stats_sql.mse_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
