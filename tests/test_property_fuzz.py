@@ -125,3 +125,35 @@ def test_scorer_pair_fuzz(postings, n_terms, k, avgdl):
     w, _ = wand_topk(by_term, qidf, avgdl, k)
     d = dense_topk(by_term, qidf, avgdl, k)
     assert w == d
+
+
+@given(st.lists(text_st, min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_tf_batches_matches_naive_counts(texts):
+    """The integer-key tf stage (operators/indexer._tf_batches) must equal
+    a naive per-doc Counter over the frozen analyzer, for ANY text."""
+    from collections import Counter
+
+    from search_spark.operators.indexer import _tf_batches
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64) * 7 + 3,  # non-dense ids
+            "doc_bucket": (np.arange(len(texts)) % 4).astype("int32"),
+            "text": texts,
+        }
+    )
+    got = {}
+    for out in _tf_batches(iter([pdf])):
+        for r in out.itertuples(index=False):
+            got[(r.doc_id, r.term)] = (r.tf, r.dl, r.doc_bucket)
+    want = {}
+    for i, t in enumerate(texts):
+        toks = tokenize(t)
+        for term, tf in Counter(toks).items():
+            want[(int(pdf["doc_id"][i]), term)] = (
+                tf,
+                len(toks),
+                int(pdf["doc_bucket"][i]),
+            )
+    assert got == want
