@@ -188,8 +188,65 @@ def run_default(spark, sf_dir: str) -> dict:
             search_topk_df(idx, tokenize(text), TOPK).collect()
         out["dfnative_q4"] = round(time.perf_counter() - t0, 4)
         idx.postings.unpersist()
+
+        # underscore prefix: reported as a separate JSON field, NOT part of
+        # the headline queries/value (keeps round-over-round comparability)
+        out["_pipeline"] = run_pipeline_ops(spark, sf_dir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def run_pipeline_ops(spark, sf_dir: str) -> dict:
+    """Timed pass over the training-pipeline operator families at the
+    bench SF (counts forced with .count()): dedup, similarity serving
+    paths, text stats — the non-BM25 half of the engine's surface."""
+    from pyspark.sql import functions as F
+
+    from search_spark.analyzer import tokens_col
+    from search_spark.functions import textstats as ts
+    from search_spark.operators import dedup as dd
+    from search_spark.operators import similarity as sim
+    from search_spark.operators.ann_index import LshIndex, build_lsh_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    out = {}
+
+    t0 = time.perf_counter()
+    dd.minhash_lsh_pairs(docs).count()
+    out["dedup_minhash"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    dd.simhash_pairs(docs).count()
+    out["dedup_simhash"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    dd.ngram_jaccard_pairs(docs).count()  # default = corpus-derived cap
+    out["dedup_ngram_capped"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    docs.select(
+        "doc_id",
+        ts.lang_id_col(tokens_col("text")).alias("lang"),
+        *[c.alias(n) for n, c in ts.quality_cols(F.col("text"), tokens_col("text")).items()],
+    ).count()
+    out["text_stats"] = round(time.perf_counter() - t0, 4)
+
+    lsh_root = tempfile.mkdtemp(prefix="bench_lsh_")
+    try:
+        t0 = time.perf_counter()
+        build_lsh_index(spark, emb, lsh_root, tables=8)
+        out["ann_lsh_build"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        LshIndex(spark, lsh_root).topk_for_ids([0, 1, 2, 3, 4], 10).count()
+        out["ann_lsh_query5"] = round(time.perf_counter() - t0, 4)
+    finally:
+        shutil.rmtree(lsh_root, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    sim.cosine_top_pairs_lsh(emb, 50, dim=64, tables=8).count()
+    out["embedding_top_pairs"] = round(time.perf_counter() - t0, 4)
     return out
 
 
@@ -215,6 +272,7 @@ def main_default() -> None:
                 "q_p50_ms": times["_p50_ms"],
                 "q_p99_ms": times["_p99_ms"],
                 "match_rate": times["_match_rate"],
+                "pipeline_secs": times["_pipeline"],
                 "cpus": int(CPUS),
             }
         )

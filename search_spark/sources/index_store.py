@@ -202,22 +202,46 @@ class IndexStore:
         cp = self.checkpoints()
         return {int(u) for u, v in cp["units"].items() if v.get("status") == "done"}
 
-    def mark_stream_batch(self, batch_id: int, n_docs: int) -> None:
+    def mark_stream_batch(self, batch_id: int, n_docs: int, n_tokens: int = 0) -> None:
         """Commit one streaming micro-batch segment: records the batch in
         the ledger AND advances the stream doc_id offset atomically — the
         foreachBatch sink checks the ledger first, so a crash-replayed
         batch_id is a no-op (exactly-once segments over at-least-once
-        delivery)."""
+        delivery).  ``n_tokens`` feeds incremental avgdl maintenance."""
         with _CP_LOCK:
             cp = self.checkpoints()
             batches = cp.setdefault("stream_batches", {})
-            batches[str(batch_id)] = {"status": "done", "n_docs": n_docs, "ts": time.time()}
+            batches[str(batch_id)] = {
+                "status": "done",
+                "n_docs": n_docs,
+                "n_tokens": n_tokens,
+                "ts": time.time(),
+            }
             cp["stream_doc_offset"] = int(cp.get("stream_doc_offset", 0)) + n_docs
             _write_json_atomic(self.checkpoints_path, cp)
             if n_docs > 0:
                 # post-compaction stores track covered segments explicitly;
                 # a new stream segment must register to become visible
                 self.add_segment(f"stream_postings/batch={batch_id}")
+
+    def unfolded_stream_batches(self) -> list[int]:
+        """Stream batches whose term stats are NOT yet folded into the
+        dictionary (incremental finalize bookkeeping)."""
+        cp = self.checkpoints()
+        folded = set(cp.get("dict_folded_batches", []))
+        return sorted(
+            int(b)
+            for b, v in cp.get("stream_batches", {}).items()
+            if v.get("n_docs", 0) > 0 and int(b) not in folded
+        )
+
+    def mark_batches_folded(self, batch_ids: list[int]) -> None:
+        with _CP_LOCK:
+            cp = self.checkpoints()
+            folded = set(cp.get("dict_folded_batches", []))
+            folded.update(int(b) for b in batch_ids)
+            cp["dict_folded_batches"] = sorted(folded)
+            _write_json_atomic(self.checkpoints_path, cp)
 
     # ---- postings (snapshot-aware) ----
     def load_postings_df(self, spark):

@@ -90,6 +90,11 @@ def _ingest_one_batch(
         store.mark_stream_batch(batch_id, 0)
         return
 
+    from ..analyzer import tokens_col
+
+    n_tokens = int(
+        staged.agg(F.sum(F.size(tokens_col("text"))).alias("t")).collect()[0]["t"] or 0
+    )
     tf_local = staged.select("doc_id", "doc_bucket", "text").mapInPandas(
         _tf_batches, schema=TF_SCHEMA
     )
@@ -105,7 +110,7 @@ def _ingest_one_batch(
     encoded.write.mode("overwrite").partitionBy("term_bucket").parquet(
         stream_segment_path(store, batch_id)
     )
-    store.mark_stream_batch(batch_id, n_docs)
+    store.mark_stream_batch(batch_id, n_docs, n_tokens)
 
 
 def start_ingest(
@@ -141,12 +146,99 @@ def start_ingest(
     return writer.start()
 
 
-def finalize_stream(spark: SparkSession, store: IndexStore) -> dict:
-    """Recompute global stats + dictionary over batch units AND stream
-    segments, exactly like the batch finalize — after this, an IndexReader
-    over the store is rank-identical to a batch build of the same rows."""
+def finalize_stream(spark: SparkSession, store: IndexStore, incremental: bool = True) -> dict:
+    """Refresh global stats + dictionary so an IndexReader over the store
+    is rank-identical to a batch build of the same rows.
+
+    INCREMENTAL by default (the 10^12-turn path): term stats are
+    associative adds (df/cf sums, max_tf/max_raw maxima), so only the
+    segments of stream batches NOT yet folded are aggregated — a
+    batch-sized metadata scan — and merged into the existing dictionary
+    with a full-outer join; stats (n_docs, total_tokens → avgdl) advance
+    from the per-batch ledger counters.  idf is recomputed for EVERY term
+    (it depends on the new global N) — a map over the vocab-sized
+    dictionary, no postings scan.  The full recompute (``incremental=
+    False``, also the fallback when no dictionary/stats exist yet) scans
+    all postings metadata every call, which at scale grows with the index
+    instead of the batch; equality of the two paths is pinned in
+    tests/test_streaming.py.
+    """
     from ..functions.bm25 import idf_col
 
+    new_batches = store.unfolded_stream_batches()
+    can_increment = (
+        incremental
+        and os.path.exists(store.stats_path)
+        and os.path.exists(store.dictionary_path)
+        and "total_tokens" in store.stats()
+    )
+    if can_increment:
+        cp = store.checkpoints()
+        stats = store.stats()
+        add_docs = sum(
+            cp["stream_batches"][str(b)]["n_docs"] for b in new_batches
+        )
+        add_tokens = sum(
+            cp["stream_batches"][str(b)].get("n_tokens", 0) for b in new_batches
+        )
+        stats["n_docs"] = int(stats["n_docs"]) + add_docs
+        stats["total_tokens"] = int(stats["total_tokens"]) + add_tokens
+        stats["avgdl"] = stats["total_tokens"] / max(1, stats["n_docs"])
+        if new_batches:
+            parts = [
+                spark.read.option("basePath", stream_segment_path(store, b)).parquet(
+                    stream_segment_path(store, b)
+                )
+                for b in new_batches
+            ]
+            newp = parts[0]
+            for p in parts[1:]:
+                newp = newp.unionByName(p)
+            delta = newp.groupBy("term").agg(
+                F.sum("n_docs").alias("d_df"), F.sum("cf_block").alias("d_cf"),
+                F.max("block_max_tf").alias("d_max_tf"), F.max("block_max_raw").alias("d_max_raw"),
+            )
+            old = spark.read.parquet(store.dictionary_path).select(
+                "term", "df", "cf", "max_tf", "max_raw"
+            )
+            merged = old.join(delta, "term", "full_outer").select(
+                "term",
+                (F.coalesce("df", F.lit(0)) + F.coalesce("d_df", F.lit(0))).alias("df"),
+                (F.coalesce("cf", F.lit(0)) + F.coalesce("d_cf", F.lit(0))).alias("cf"),
+                F.greatest(F.coalesce("max_tf", F.lit(0)), F.coalesce("d_max_tf", F.lit(0))).alias("max_tf"),
+                F.greatest(F.coalesce("max_raw", F.lit(0.0)), F.coalesce("d_max_raw", F.lit(0.0))).alias("max_raw"),
+            )
+        else:
+            merged = spark.read.parquet(store.dictionary_path).select(
+                "term", "df", "cf", "max_tf", "max_raw"
+            )
+        dictionary = merged.withColumn(
+            "idf", idf_col(F.lit(stats["n_docs"]), F.col("df"))
+        ).withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")
+        )
+        # overwrite via staging dir: the plan READS the current dictionary,
+        # so an in-place overwrite would delete its own input mid-job.
+        # Swap = two renames; a crash in the window (or mid-write anywhere)
+        # is recovered by `finalize_stream(incremental=False)`, which
+        # rebuilds the dictionary from postings metadata alone.
+        import shutil
+
+        tmp = store.dictionary_path + ".tmp"
+        aside = store.dictionary_path + ".old"
+        dictionary.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(aside, ignore_errors=True)
+        os.rename(store.dictionary_path, aside)
+        os.rename(tmp, store.dictionary_path)
+        shutil.rmtree(aside, ignore_errors=True)
+        store.write_stats(stats)
+        store.mark_batches_folded(new_batches)
+        sid = store.commit_snapshot(
+            "finalize_stream", {"n_docs": stats["n_docs"], "folded": new_batches}
+        )
+        return {"n_docs": stats["n_docs"], "snapshot_id": sid, "incremental": True}
+
+    # full recompute (first finalize, or explicitly requested)
     doc_sources = []
     if os.path.exists(store.docs_path()):
         doc_sources.append(spark.read.parquet(store.docs_path()).select("doc_id", "dl"))
@@ -159,12 +251,15 @@ def finalize_stream(spark: SparkSession, store: IndexStore) -> dict:
     all_docs = doc_sources[0]
     for d in doc_sources[1:]:
         all_docs = all_docs.unionByName(d)
-    row = all_docs.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    row = all_docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("total")
+    ).collect()[0]
     stats = store.stats() if os.path.exists(store.stats_path) else {}
     stats.update(
         {
             "n_docs": int(row["n"]),
             "avgdl": float(row["avgdl"]),
+            "total_tokens": int(row["total"] or 0),
             "doc_bucket_size": store.doc_bucket_size,
             "term_buckets": store.term_buckets,
         }
@@ -180,7 +275,8 @@ def finalize_stream(spark: SparkSession, store: IndexStore) -> dict:
         .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int"))
     )
     dictionary.write.mode("overwrite").parquet(store.dictionary_path)
+    store.mark_batches_folded(store.unfolded_stream_batches())
     sid = store.commit_snapshot("finalize_stream", {"n_docs": stats["n_docs"]})
-    return {"n_docs": stats["n_docs"], "snapshot_id": sid}
+    return {"n_docs": stats["n_docs"], "snapshot_id": sid, "incremental": False}
 
 

@@ -94,3 +94,59 @@ def test_stream_segments_on_disk(streamed_store):
     store, _ = streamed_store
     segs = os.listdir(os.path.join(store.root, "stream_postings"))
     assert len(segs) >= 2 and all(s.startswith("batch=") for s in segs)
+
+
+def test_incremental_finalize_matches_full_recompute(spark, tmp_path):
+    """Two-phase ingest: finalize after each phase (1st = full bootstrap,
+    2nd = incremental fold of only the new batches).  The resulting
+    dictionary + stats must be IDENTICAL to a one-shot full recompute over
+    the same data — the associativity contract of the term stats."""
+    pdf = generate_pandas(40)
+    a = pdf[pdf["conv_id"] < "conv-000020"]
+    b = pdf[pdf["conv_id"] >= "conv-000020"]
+
+    def ingest(store_root, cp, src, frames, finalize_each):
+        store = IndexStore(store_root, doc_bucket_size=256, term_buckets=4)
+        outs = []
+        for i, f in enumerate(frames):
+            spark.createDataFrame(f).coalesce(1).write.mode("append").parquet(src)
+            q = start_ingest(spark, src, store, checkpoint_dir=cp, available_now=True)
+            q.awaitTermination(300)
+            if finalize_each or i == len(frames) - 1:
+                outs.append(finalize_stream(spark, store))
+        return store, outs
+
+    s_inc, outs_inc = ingest(
+        str(tmp_path / "inc"), str(tmp_path / "cp_inc"), str(tmp_path / "src_inc"),
+        [a, b], finalize_each=True,
+    )
+    s_full, outs_full = ingest(
+        str(tmp_path / "full"), str(tmp_path / "cp_full"), str(tmp_path / "src_full"),
+        [a, b], finalize_each=False,
+    )
+    # path check: first finalize bootstraps full, second folds incrementally
+    assert outs_inc[0]["incremental"] is False
+    assert outs_inc[1]["incremental"] is True
+
+    d_inc = sorted(
+        tuple(r)
+        for r in spark.read.parquet(s_inc.dictionary_path)
+        .select("term", "df", "cf", "max_tf", "idf", "term_bucket")
+        .collect()
+    )
+    d_full = sorted(
+        tuple(r)
+        for r in spark.read.parquet(s_full.dictionary_path)
+        .select("term", "df", "cf", "max_tf", "idf", "term_bucket")
+        .collect()
+    )
+    assert d_inc == d_full
+    assert s_inc.stats()["n_docs"] == s_full.stats()["n_docs"]
+    assert abs(s_inc.stats()["avgdl"] - s_full.stats()["avgdl"]) < 1e-12
+
+    # and the served results agree
+    from search_spark.operators.wand import IndexReader
+
+    ri = IndexReader(spark, s_inc).batch_search([("q", "the w0003 needle1")], 10).collect()
+    rf = IndexReader(spark, s_full).batch_search([("q", "the w0003 needle1")], 10).collect()
+    assert [tuple(r) for r in ri] == [tuple(r) for r in rf]
