@@ -386,6 +386,10 @@ def _q_frame_sample(spark, sf_dir):
     return md.frame_sample(md.attach_payload(_docs(spark, sf_dir)))
 
 
+def _q_media_features(spark, sf_dir):
+    return md.extract_features(md.attach_payload(_docs(spark, sf_dir)))
+
+
 def _eval_pairs(spark, sf_dir):
     """(n_chars, re_tokens) per document — the metric operators' input."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -528,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_cos_near_dups,
         "media_metadata": _q_media_meta,
         "media_resize": _q_media_resize,
+        "media_features": _q_media_features,
         "media_frame_sample": _q_frame_sample,
         "bm25_topk_rehydrated": _q_bm25_rehydrated,
         "conversations_summary": _q_conversations_summary,
@@ -581,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_metadata": osp.media_metadata_sql(),
         "media_resize": osp.media_resize_sql(),
+        "media_features": osp.media_features_sql(),
         "media_frame_sample": osp.frame_sample_sql(),
         "bm25_topk_rehydrated": f"""
 WITH topk AS ({osql.bm25_topk_sql(Q_MIX, _TOPK)})

@@ -108,6 +108,52 @@ def media_metadata(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, schema=MEDIA_META_SCHEMA)
 
 
+FEATURE_BINS = 16
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("bin", T.IntegerType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over the opaque payload: a 16-bin histogram of
+    byte high-nibbles — the deterministic stand-in for a real feature
+    kernel (spectrogram / embedding), with the REAL pipeline shape: numpy
+    over Arrow batches, one 1→BINS fan-out per payload, no shuffle.
+
+    Output is normalized to (doc_id, bin, n) rows (bins with n=0 omitted)
+    so the DuckDB oracle compares scalars, not arrays.  A real extractor
+    would swap the numpy kernel and emit a vector column feeding the
+    embeddings pipeline (operators/ann_index.py) unchanged.
+    """
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bins, ns = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(b >> 4, minlength=FEATURE_BINS)
+                nz = np.flatnonzero(hist)
+                ids.extend([int(doc_id)] * len(nz))
+                bins.extend(nz.tolist())
+                ns.extend(hist[nz].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bin": pd.Series(bins, dtype="int32"),
+                    "n": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
 #: resize-plan target: longest side after resize (training-data thumbnail)
 RESIZE_MAX_SIDE = 256
 

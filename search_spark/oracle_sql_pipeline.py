@@ -393,6 +393,21 @@ SELECT doc_id,
 FROM docs"""
 
 
+def media_features_sql(docs_sql: str = DOCS_SQL) -> str:
+    """Mirror of media.extract_features: 16-bin high-nibble byte histogram
+    of the payload.  ASCII corpus ⇒ byte == codepoint (the oracle-side
+    equivalence documented in the module header)."""
+    return f"""
+WITH docs AS ({docs_sql}),
+  bytes AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch FROM docs)
+SELECT doc_id,
+       CAST(ord(ch) // 16 AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM bytes
+GROUP BY doc_id, bin"""
+
+
 def media_resize_sql(max_side: int = RESIZE_MAX_SIDE, docs_sql: str = DOCS_SQL) -> str:
     """Mirror of media.resize_plan over the fake-decoded dims (integer
     division on both engines — exact)."""
