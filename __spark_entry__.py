@@ -175,7 +175,11 @@ def _q_wand_batch(spark, sf_dir):
     )
 
 
-QUERYSET_PATH = __file__.rsplit("/", 1)[0] + "/fixtures/queries.tsv"
+import os as _os
+
+QUERYSET_PATH = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "fixtures", "queries.tsv"
+)
 
 
 def _q_wand_queryset(spark, sf_dir):

@@ -114,6 +114,15 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
     """Merge all segments into the compacted global layout; returns stats."""
     from ..operators.wand import IndexReader
 
+    # Fold any pending stream-batch term stats into the dictionary FIRST:
+    # compaction absorbs those segments' postings into the new layout and
+    # removes the per-batch dirs, so deltas not folded now would be
+    # unrecoverable by the incremental finalize path.
+    if store.unfolded_stream_batches():
+        from ..streaming.ingest import finalize_stream
+
+        finalize_stream(spark, store)
+
     reader = IndexReader(spark, store)  # validates versions, unions segments
     posts = reader._posts_df  # term_bucket present from partition discovery
     n_parts = max(2, spark.sparkContext.defaultParallelism)
@@ -153,9 +162,14 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
         segments=[new_rel],
     )
     # cleanup is best-effort: stale dirs are invisible to snapshot-aware
-    # readers even if this is interrupted
+    # readers even if this is interrupted.  Delete only what the committed
+    # snapshot does NOT cover (defensive — at this point that is every
+    # pre-compaction dir, but expressing it via the manifest means a future
+    # concurrent-writer mistake degrades to leftover dirs, not data loss).
+    covered = {os.path.join("postings", new_unit)} | set(store.covered_segments() or [])
     for d in os.listdir(store.postings_path()):
-        if d != new_unit:
+        rel = os.path.join("postings", d)
+        if rel not in covered:
             shutil.rmtree(os.path.join(store.postings_path(), d), ignore_errors=True)
     shutil.rmtree(os.path.join(store.root, "stream_postings"), ignore_errors=True)
     return {"blocks": int(row["blocks"]), "postings": int(row["postings"] or 0), "snapshot_id": sid}

@@ -113,15 +113,22 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
-def _guarded_band_pairs(banded: DataFrame, max_band_size: int) -> DataFrame:
-    """Self-join a (doc_id, band_id, band_key) table into candidate pairs,
-    dropping band groups larger than ``max_band_size`` first — the shuffle
-    key is (band_id, band_key), so the guard bounds every join group at
-    ``max_band_size``² pairs regardless of how degenerate the corpus is."""
-    w = Window.partitionBy("band_id", "band_key")
-    kept = banded.withColumn("band_n", F.count("*").over(w)).filter(
+def band_guard(df: DataFrame, keys: list[str], max_band_size: int) -> DataFrame:
+    """Drop rows of band groups larger than ``max_band_size`` (count window
+    over ``keys``) — THE shared guard for every banded self-join in the
+    engine (MinHash, SimHash, embedding LSH): the join's shuffle key is the
+    band key, so this bounds any join group at ``max_band_size``² pairs
+    regardless of how degenerate the corpus is."""
+    w = Window.partitionBy(*keys)
+    return df.withColumn("band_n", F.count("*").over(w)).filter(
         F.col("band_n") <= max_band_size
     )
+
+
+def _guarded_band_pairs(banded: DataFrame, max_band_size: int) -> DataFrame:
+    """Self-join a (doc_id, band_id, band_key) table into candidate pairs
+    behind :func:`band_guard`."""
+    kept = band_guard(banded, ["band_id", "band_key"], max_band_size)
     a = kept.alias("a")
     bb = kept.alias("b")
     return (
@@ -308,10 +315,7 @@ def simhash_pairs(
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
-    w = Window.partitionBy("band_id", "band_key")
-    kept = banded.withColumn("band_n", F.count("*").over(w)).filter(
-        F.col("band_n") <= max_band_size
-    )
+    kept = band_guard(banded, ["band_id", "band_key"], max_band_size)
     a = kept.alias("a")
     b = kept.alias("b")
     return (

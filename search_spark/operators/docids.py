@@ -36,12 +36,20 @@ def assign_doc_ids(
     df: DataFrame,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Add dense ``doc_id`` = global rank under ``order_cols``.
 
     Returns the input columns plus ``doc_id`` (bigint), range-partitioned by
     the order columns (a useful physical property for downstream build
     stages: doc-contiguous partitions → doc-contiguous posting runs).
+
+    The ranged intermediate is persisted (the count job and the window job
+    MUST observe the same range boundaries — re-execution would re-sample
+    them).  Pass ``cache_handle=[]`` to receive the persisted DataFrame and
+    ``unpersist()`` it once the result is materialized — long-lived callers
+    (the streaming ingest loop) must do this or cached micro-batch RDDs
+    accumulate for the life of the stream.
     """
     sc_parallelism = df.sparkSession.sparkContext.defaultParallelism
     p = num_partitions or sc_parallelism
@@ -53,6 +61,8 @@ def assign_doc_ids(
     # equivalent is staging the sorted table; in-memory persist suffices in
     # one Spark app.)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    if cache_handle is not None:
+        cache_handle.append(with_pid)
     counts = with_pid.groupBy("_pid").count().collect()  # P rows — driver-safe
     by_pid = {r["_pid"]: r["count"] for r in counts}
     offsets, acc = {}, 0

@@ -70,12 +70,15 @@ POSTING_SCHEMA = T.StructType(
 
 def stage_docs(spark: SparkSession, transcripts: DataFrame, store: IndexStore, n_units: int) -> dict:
     """P0: stable docIDs + dl, written per unit.  Returns staged stats."""
-    docs = assign_doc_ids(transcripts)
+    cache_handle: list = []
+    docs = assign_doc_ids(transcripts, cache_handle=cache_handle)
     docs = docs.withColumn("dl", F.size(tokens_col("text")))
     docs = docs.withColumn(
         "doc_bucket", (F.col("doc_id") / store.doc_bucket_size).cast("int")
     ).withColumn("unit", F.pmod(F.col("doc_bucket"), F.lit(n_units)).cast("int"))
     docs.write.mode("overwrite").partitionBy("unit").parquet(store.docs_path())
+    for cached in cache_handle:
+        cached.unpersist()
 
     staged = spark.read.parquet(store.docs_path())
     row = staged.agg(
@@ -277,6 +280,11 @@ def build_unit(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")
     )
     encoded.write.mode("overwrite").partitionBy("term_bucket").parquet(store.postings_path(unit))
+    # post-compaction stores track covered segments explicitly — a newly
+    # built unit must register to be visible (no-op on legacy stores, and
+    # registration precedes the done-mark so a crash between the two is
+    # recovered by the idempotent unit re-run, never an invisible unit)
+    store.add_segment(f"postings/unit={unit}")
 
     # no recount scan here: per-unit posting/byte metrics are computed once
     # in finalize from block metadata (a fixed extra job per unit measurably
@@ -287,12 +295,17 @@ def build_unit(
 
 
 def finalize(spark: SparkSession, store: IndexStore) -> dict:
-    """P2: dictionary + metrics from block metadata only; snapshot commit."""
+    """P2: dictionary + metrics from block metadata only; snapshot commit.
+
+    The dictionary aggregates over the store's COVERED postings
+    (snapshot-aware loader) so a build onto a previously compacted store
+    counts the compacted layout too; per-unit metrics read the batch unit
+    dirs directly (unit provenance only exists there)."""
     stats = store.stats()
     posts = spark.read.option("basePath", store.postings_path()).parquet(store.postings_path())
 
     dictionary = (
-        posts.groupBy("term")
+        store.load_postings_df(spark).groupBy("term")
         .agg(
             F.sum("n_docs").alias("df"),
             F.sum("cf_block").alias("cf"),

@@ -157,11 +157,10 @@ def lsh_candidate_pairs(
     ``max_band_size``² by the band guard, so no key can degenerate into an
     unbounded quadratic group (the failure mode of the all-pairs join).
     """
+    from .dedup import band_guard
+
     b = lsh_bucketed(emb, dim, tables, planes).select("vec_id", "table_id", "bucket")
-    w = Window.partitionBy("table_id", "bucket")
-    kept = b.withColumn("band_n", F.count("*").over(w)).filter(
-        F.col("band_n") <= max_band_size
-    )
+    kept = band_guard(b, ["table_id", "bucket"], max_band_size)
     a = kept.select(F.col("vec_id").alias("a_id"), "table_id", "bucket")
     c = kept.select(F.col("vec_id").alias("b_id"), "table_id", "bucket")
     return (

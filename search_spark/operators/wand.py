@@ -366,7 +366,11 @@ class IndexReader:
             )
             found = {r["term"]: (float(r["idf"]), int(r["term_bucket"])) for r in rows}
             if len(self._term_cache) + len(missing) > self.TERM_CACHE_MAX:
-                self._term_cache = {}
+                # keep THIS batch's already-cached entries through the reset —
+                # dropping them would silently score those terms as OOV below
+                self._term_cache = {
+                    t: self._term_cache[t] for t in terms if t in self._term_cache
+                }
             for t in missing:
                 self._term_cache[t] = found.get(t)
         out = {}

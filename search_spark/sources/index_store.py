@@ -209,6 +209,13 @@ class IndexStore:
         batch_id is a no-op (exactly-once segments over at-least-once
         delivery).  ``n_tokens`` feeds incremental avgdl maintenance."""
         with _CP_LOCK:
+            # register the segment BEFORE the durable done-mark: a crash
+            # between the two replays the batch (ledger not done) onto the
+            # already-registered path — idempotent.  The reverse order
+            # could leave a done-marked batch invisible forever while its
+            # stats still fold into the dictionary.
+            if n_docs > 0:
+                self.add_segment(f"stream_postings/batch={batch_id}")
             cp = self.checkpoints()
             batches = cp.setdefault("stream_batches", {})
             batches[str(batch_id)] = {
@@ -219,10 +226,6 @@ class IndexStore:
             }
             cp["stream_doc_offset"] = int(cp.get("stream_doc_offset", 0)) + n_docs
             _write_json_atomic(self.checkpoints_path, cp)
-            if n_docs > 0:
-                # post-compaction stores track covered segments explicitly;
-                # a new stream segment must register to become visible
-                self.add_segment(f"stream_postings/batch={batch_id}")
 
     def unfolded_stream_batches(self) -> list[int]:
         """Stream batches whose term stats are NOT yet folded into the

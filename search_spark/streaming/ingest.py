@@ -71,8 +71,9 @@ def _ingest_one_batch(
     # two-phase assigner as the batch path (a global Window.orderBy would
     # collapse an availableNow backfill batch to one partition), shifted to
     # the stream's reserved range
+    cache_handle: list = []
     docs = (
-        assign_doc_ids(batch_df)
+        assign_doc_ids(batch_df, cache_handle=cache_handle)
         .withColumn("doc_id", (F.col("doc_id") + F.lit(base)).cast("bigint"))
         .withColumn(
             "doc_bucket",
@@ -84,6 +85,8 @@ def _ingest_one_batch(
     )
     spark = batch_df.sparkSession
     docs.write.mode("overwrite").parquet(stream_docs_path(store, batch_id))
+    for cached in cache_handle:  # free the docid assigner's per-batch cache
+        cached.unpersist()
     staged = spark.read.parquet(stream_docs_path(store, batch_id))
     n_docs = staged.count()
     if n_docs == 0:

@@ -133,3 +133,45 @@ def test_post_compaction_stream_visible_after_refresh(spark, hybrid_store, tmp_p
     assert reader._posts_df.agg(F.sum("n_docs")).collect()[0][0] == n_before
     n_after = reader.refresh()._posts_df.agg(F.sum("n_docs")).collect()[0][0]
     assert n_after > n_before
+
+
+def test_compact_folds_pending_stream_stats(spark, tmp_path):
+    """Compaction absorbs stream segments into the new layout and deletes
+    the per-batch dirs — any term-stat deltas not yet folded into the
+    dictionary MUST be folded first, or they'd be unrecoverable
+    (regression: incremental finalize crashed on the deleted dirs and the
+    dictionary permanently missed those batches)."""
+    from pyspark.sql import functions as F
+
+    from search_spark.corpus import generate_pandas as gen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = IndexStore(str(tmp_path / "idx"), doc_bucket_size=256, term_buckets=4)
+    pdf = gen(30)
+    a = pdf[pdf["conv_id"] < "conv-000015"]
+    b = pdf[pdf["conv_id"] >= "conv-000015"]
+
+    spark.createDataFrame(a).coalesce(1).write.mode("append").parquet(str(src))
+    q = start_ingest(spark, str(src), store, checkpoint_dir=str(tmp_path / "cp"), available_now=True)
+    q.awaitTermination(300)
+    finalize_stream(spark, store)  # folds batch 0
+
+    spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(str(src))
+    q = start_ingest(spark, str(src), store, checkpoint_dir=str(tmp_path / "cp"), available_now=True)
+    q.awaitTermination(300)
+    assert store.unfolded_stream_batches()  # batch 1 pending, NOT finalized
+
+    info = compact_index(spark, store)  # must fold before deleting segments
+    assert store.unfolded_stream_batches() == []
+    # dictionary df total equals postings in the compacted layout
+    total_df = (
+        spark.read.parquet(store.dictionary_path).agg(F.sum("df")).collect()[0][0]
+    )
+    assert total_df == info["postings"]
+    # subsequent incremental finalize is a safe no-op
+    out = finalize_stream(spark, store)
+    assert out["incremental"] is True
+    # and the streamed second half is searchable with correct idf/N
+    res = IndexReader(spark, store).batch_search([("q", "the")], 10).collect()
+    assert len(res) == 10

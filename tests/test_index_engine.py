@@ -171,3 +171,23 @@ def test_tf_triples_matches_pandas_reference(spark, tiny_corpus_pd):
     jvm = {tuple(r) for r in tf_triples(docs).collect()}
     ref = {tuple(r) for r in docs.mapInPandas(_tf_batches, schema=TF_SCHEMA).collect()}
     assert jvm == ref and len(jvm) > 100
+
+
+def test_term_cache_reset_keeps_current_batch_terms(spark, store, oracle):
+    """Cache-overflow reset must NOT drop terms of the in-flight batch:
+    with TERM_CACHE_MAX forced to 1, a two-term query whose first term is
+    already cached must still score both terms (regression: the reset
+    silently turned cached terms into OOV)."""
+    from search_spark.operators.wand import IndexReader
+
+    r = IndexReader(spark, store)
+    r.TERM_CACHE_MAX = 1
+    # seed the cache with 'the'
+    r.batch_search([("seed", "the")], 5).collect()
+    assert "the" in r._term_cache
+    # now 'the fast': 'fast' is missing → overflow path runs
+    got = r.batch_search([("q", "the fast")], 10).collect()
+    want = oracle.search("the fast", 10)
+    assert [(row["doc_id"], round(row["score"] * 1e6)) for row in got] == [
+        (d, round(s * 1e6)) for d, s in want
+    ]
