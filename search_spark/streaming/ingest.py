@@ -113,6 +113,32 @@ def _ingest_one_batch(
     encoded.write.mode("overwrite").partitionBy("term_bucket").parquet(
         stream_segment_path(store, batch_id)
     )
+
+    # per-batch build metrics (terms/postings/bytes/skew), same shape as the
+    # batch units' rows but under metrics_stream/ — batch finalize rewrites
+    # metrics/ wholesale, so stream rows live beside it, keyed by batch id
+    seg = spark.read.option("basePath", stream_segment_path(store, batch_id)).parquet(
+        stream_segment_path(store, batch_id)
+    )
+    payload_bytes = (
+        F.octet_length("doc_ids_delta") + F.octet_length("tfs") + F.octet_length("dls")
+    )
+    per_term = seg.groupBy("term").agg(
+        F.sum("n_docs").alias("tp"), F.sum(payload_bytes).alias("tb")
+    )
+    metrics = (
+        per_term.agg(
+            F.count("*").alias("terms"),
+            F.sum("tp").alias("postings"),
+            F.sum("tb").alias("bytes"),
+            (F.max("tp") / F.avg("tp")).alias("skew_factor"),
+        )
+        .withColumn("partition_id", F.lit(int(batch_id)))
+        .withColumn("build_ts", F.current_timestamp())
+        .withColumn("lineage", F.lit(f"stream_batch={batch_id}"))
+    )
+    metrics.write.mode("append").parquet(os.path.join(store.root, "metrics_stream"))
+
     store.mark_stream_batch(batch_id, n_docs, n_tokens)
 
 

@@ -150,3 +150,22 @@ def test_incremental_finalize_matches_full_recompute(spark, tmp_path):
     ri = IndexReader(spark, s_inc).batch_search([("q", "the w0003 needle1")], 10).collect()
     rf = IndexReader(spark, s_full).batch_search([("q", "the w0003 needle1")], 10).collect()
     assert [tuple(r) for r in ri] == [tuple(r) for r in rf]
+
+
+def test_stream_batches_record_build_metrics(spark, streamed_store):
+    """Every non-empty stream batch writes a metrics row (terms, postings,
+    bytes, skew) — the same observability contract as batch units."""
+    import os
+
+    store, pdf = streamed_store
+    mdir = os.path.join(store.root, "metrics_stream")
+    rows = spark.read.parquet(mdir).collect()
+    batches = {
+        int(b)
+        for b, v in store.checkpoints()["stream_batches"].items()
+        if v["n_docs"] > 0
+    }
+    assert {r["partition_id"] for r in rows} >= batches
+    for r in rows:
+        assert r["terms"] > 0 and r["postings"] > 0 and r["bytes"] > 0
+        assert r["skew_factor"] >= 1.0
