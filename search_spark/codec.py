@@ -95,6 +95,12 @@ def decode_tfs(data: bytes, n: int) -> np.ndarray:
     return varint_decode(data)[:n].astype(np.int64)
 
 
+def decode_dls(data: bytes, n: int) -> np.ndarray:
+    """Doc-length payload decode — THE one implementation every consumer
+    (scorers, compaction, tests) must share."""
+    return varint_decode(data)[:n].astype(np.int64)
+
+
 def make_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -174,5 +180,5 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = int(row["n_docs"])
     doc_ids = decode_doc_ids(row["doc_ids_delta"], int(row["first_doc"]), n)
     tfs = decode_tfs(row["tfs"], n)
-    dls = varint_decode(row["dls"])[:n].astype(np.int64)
+    dls = decode_dls(row["dls"], n)
     return doc_ids, tfs, dls

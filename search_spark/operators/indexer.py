@@ -72,7 +72,10 @@ def stage_docs(spark: SparkSession, transcripts: DataFrame, store: IndexStore, n
     """P0: stable docIDs + dl, written per unit.  Returns staged stats."""
     cache_handle: list = []
     docs = assign_doc_ids(transcripts, cache_handle=cache_handle)
-    docs = docs.withColumn("dl", F.size(tokens_col("text")))
+    # NULL text must count as dl=0, not be silently excluded from avgdl —
+    # the oracle tokenizes None to [] and counts the doc (rank identity
+    # depends on both engines seeing the same avgdl)
+    docs = docs.withColumn("dl", F.coalesce(F.size(tokens_col("text")), F.lit(0)))
     docs = docs.withColumn(
         "doc_bucket", (F.col("doc_id") / store.doc_bucket_size).cast("int")
     ).withColumn("unit", F.pmod(F.col("doc_bucket"), F.lit(n_units)).cast("int"))
@@ -86,7 +89,7 @@ def stage_docs(spark: SparkSession, transcripts: DataFrame, store: IndexStore, n
     ).collect()[0]
     stats = {
         "n_docs": int(row["n"]),
-        "avgdl": float(row["avgdl"]),
+        "avgdl": float(row["avgdl"] or 0.0),
         "total_tokens": int(row["total"]),
         "doc_bucket_size": store.doc_bucket_size,
         "term_buckets": store.term_buckets,

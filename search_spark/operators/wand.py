@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 
 from .. import codec
 from ..analyzer import tokenize
+from ..oracle import idf as oracle_idf
 from ..sources.index_store import IndexStore
 
 K1 = 1.2
@@ -58,9 +59,17 @@ class TermCursor:
     __slots__ = (
         "term", "idf", "avgdl", "first", "last", "bmax", "payloads", "nblocks",
         "bi", "pi", "docs", "tfs", "dls", "global_ub", "decoded", "skipped",
+        "cache",
     )
 
-    def __init__(self, term: str, idf: float, blocks: pd.DataFrame, avgdl: float):
+    def __init__(
+        self,
+        term: str,
+        idf: float,
+        blocks: pd.DataFrame,
+        avgdl: float,
+        cache: dict | None = None,
+    ):
         self.term = term
         self.idf = idf
         self.avgdl = avgdl
@@ -83,6 +92,11 @@ class TermCursor:
         self.global_ub = idf * float(self.bmax.max()) if self.nblocks else 0.0
         self.decoded = 0
         self.skipped = 0
+        # shared per-bucket decode cache, keyed (term, first_doc): within a
+        # doc_bucket a term's blocks are disjoint doc ranges, so first_doc
+        # identifies the block; queries of a batch sharing a term hit the
+        # same decoded arrays instead of re-running the varint decode
+        self.cache = cache
 
     # -- state ---------------------------------------------------------
     def exhausted(self) -> bool:
@@ -106,12 +120,21 @@ class TermCursor:
     # -- movement ------------------------------------------------------
     def _decode(self) -> None:
         if self.docs is None:
-            ids_b, tfs_b, dls_b, n = self.payloads[self.bi]
-            n = int(n)
-            self.docs = codec.decode_doc_ids(ids_b, int(self.first[self.bi]), n)
-            self.tfs = codec.decode_tfs(tfs_b, n)
-            self.dls = codec.varint_decode(dls_b)[:n].astype(np.int64)
-            self.decoded += 1
+            first = int(self.first[self.bi])
+            key = (self.term, first)
+            hit = self.cache.get(key) if self.cache is not None else None
+            if hit is None:
+                ids_b, tfs_b, dls_b, n = self.payloads[self.bi]
+                n = int(n)
+                hit = (
+                    codec.decode_doc_ids(ids_b, first, n),
+                    codec.decode_tfs(tfs_b, n),
+                    codec.decode_dls(dls_b, n),
+                )
+                if self.cache is not None:
+                    self.cache[key] = hit
+                self.decoded += 1
+            self.docs, self.tfs, self.dls = hit
 
     def shallow_to(self, d: int) -> None:
         """Advance block pointer (no decode) until last_doc >= d."""
@@ -160,6 +183,7 @@ def wand_topk(
     qidf: dict[str, float],
     avgdl: float,
     k: int,
+    cache: dict | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k over one doc range via block-max WAND.
 
@@ -170,7 +194,7 @@ def wand_topk(
     cursors = []
     for term in sorted(blocks_by_term):  # ascending term order → fixed sum order
         blk = blocks_by_term[term].sort_values("first_doc")
-        cursors.append(TermCursor(term, qidf[term], blk, avgdl))
+        cursors.append(TermCursor(term, qidf[term], blk, avgdl, cache))
     heap: list[tuple[float, float]] = []  # (score, -doc_id)
 
     def theta() -> float:
@@ -203,14 +227,29 @@ def wand_topk(
             if len(heap) == k and block_acc < th:
                 # whole aligned blocks can't reach θ.  Safe jump target:
                 # d' = min(current block ends)+1, capped AT (not past) the
-                # next unaligned cursor's doc — its doc still needs the
-                # aligned cursors' contributions, so we may not skip beyond.
+                # next cursor positioned STRICTLY BEYOND the pivot — a doc
+                # there may combine aligned + unaligned contributions, so we
+                # may not skip over it.  (Capping at order[pivot+1] naively
+                # could yield d' == pivot_doc when alignment extends past
+                # the pivot index — an infinite loop.)  pivot_doc itself is
+                # proven < θ (ALL its mass is in the aligned cursors: any
+                # cursor past it no longer contains it), so d' ≥ pivot_doc+1
+                # is always safe AND guarantees progress.
                 d_prime = 1 + min(
                     (c.block_last() for c in aligned if not c.exhausted()),
                     default=pivot_doc,
                 )
-                if pivot + 1 < len(order) and order[pivot + 1].cur_doc() != INF:
-                    d_prime = min(d_prime, int(order[pivot + 1].cur_doc()))
+                nxt = next(
+                    (
+                        int(c.cur_doc())
+                        for c in order
+                        if c.cur_doc() != INF and c.cur_doc() > pivot_doc
+                    ),
+                    None,
+                )
+                if nxt is not None:
+                    d_prime = min(d_prime, nxt)
+                d_prime = max(d_prime, pivot_doc + 1)
                 for c in aligned:
                     c.skip_to(d_prime)
             else:
@@ -248,6 +287,7 @@ def dense_topk(
     qidf: dict[str, float],
     avgdl: float,
     k: int,
+    cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k over one doc range via dense vectorized accumulation —
     the numpy "SIMD path" of the scorer pair (the reference keeps the same
@@ -282,9 +322,19 @@ def dense_topk(
             blk["doc_ids_delta"], blk["tfs"], blk["dls"], blk["n_docs"], blk["first_doc"]
         ):
             n = int(n)
-            docs = codec.decode_doc_ids(ids_b, int(first), n)
-            tf = codec.decode_tfs(tfs_b, n).astype(np.float64)
-            dl = codec.varint_decode(dls_b)[:n].astype(np.float64)
+            key = (term, int(first))
+            hit = cache.get(key) if cache is not None else None
+            if hit is None:
+                hit = (
+                    codec.decode_doc_ids(ids_b, int(first), n),
+                    codec.decode_tfs(tfs_b, n),
+                    codec.decode_dls(dls_b, n),
+                )
+                if cache is not None:
+                    cache[key] = hit
+            docs, tf_i, dl_i = hit
+            tf = tf_i.astype(np.float64)
+            dl = dl_i.astype(np.float64)
             contrib = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
             idx = docs - lo
             scores[idx] += contrib  # unique docs per term: plain fancy-index add
@@ -361,10 +411,18 @@ class IndexReader:
         if missing:
             rows = (
                 self._dict_df.filter(F.col("term").isin(missing))
-                .select("term", "idf", "term_bucket")
+                .select("term", "df", "term_bucket")
                 .collect()
             )
-            found = {r["term"]: (float(r["idf"]), int(r["term_bucket"])) for r in rows}
+            # idf derived HERE in CPython from (N, df) rather than read from
+            # the stored column: JVM Math.log is only 1-ulp-accurate while
+            # the oracle uses correctly-rounded libm — deriving driver-side
+            # makes the scorer's idf bit-identical to the oracle's
+            n = int(self.stats["n_docs"])
+            found = {
+                r["term"]: (oracle_idf(n, int(r["df"])), int(r["term_bucket"]))
+                for r in rows
+            }
             if len(self._term_cache) + len(missing) > self.TERM_CACHE_MAX:
                 # keep THIS batch's already-cached entries through the reset —
                 # dropping them would silently score those terms as OOV below
@@ -427,6 +485,9 @@ class IndexReader:
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             by_term = {t: g for t, g in pdf.groupby("term")}
             outs = []
+            # ONE decode cache per bucket group: shared-term blocks decode
+            # once for the whole batch, not once per query
+            cache: dict = {}
             for qid, terms in qterms_b.items():
                 sub = {t: by_term[t] for t in terms if t in by_term}
                 if not sub:
@@ -437,9 +498,9 @@ class IndexReader:
                 # bit-identical (property-tested).
                 n_postings = int(sum(g["n_docs"].sum() for g in sub.values()))
                 if n_postings <= WAND_MAX_POSTINGS:
-                    top, _ = wand_topk(sub, idf_b, avgdl, k)
+                    top, _ = wand_topk(sub, idf_b, avgdl, k, cache)
                 else:
-                    top = dense_topk(sub, idf_b, avgdl, k)
+                    top = dense_topk(sub, idf_b, avgdl, k, cache)
                 if top:
                     out = pd.DataFrame(top, columns=["doc_id", "score"])
                     out.insert(0, "query_id", qid)

@@ -276,7 +276,11 @@ def finalize_stream(spark: SparkSession, store: IndexStore, incremental: bool = 
         sd = spark.read.option("basePath", sdocs_root).parquet(sdocs_root)
         from ..analyzer import tokens_col
 
-        doc_sources.append(sd.select("doc_id", F.size(tokens_col("text")).alias("dl")))
+        doc_sources.append(
+            sd.select(
+                "doc_id", F.coalesce(F.size(tokens_col("text")), F.lit(0)).alias("dl")
+            )
+        )
     all_docs = doc_sources[0]
     for d in doc_sources[1:]:
         all_docs = all_docs.unionByName(d)
@@ -287,7 +291,7 @@ def finalize_stream(spark: SparkSession, store: IndexStore, incremental: bool = 
     stats.update(
         {
             "n_docs": int(row["n"]),
-            "avgdl": float(row["avgdl"]),
+            "avgdl": float(row["avgdl"] or 0.0),
             "total_tokens": int(row["total"] or 0),
             "doc_bucket_size": store.doc_bucket_size,
             "term_buckets": store.term_buckets,

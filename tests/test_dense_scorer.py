@@ -110,3 +110,30 @@ def test_k_edge_cases():
     w, _ = wand_topk(by_term, qidf, AVGDL, 100)
     d = dense_topk(by_term, qidf, AVGDL, 100)
     assert w == d and len(d) == 50  # k > candidates → all, ordered
+
+
+def test_wand_skip_terminates_when_alignment_extends_past_pivot():
+    """Regression: the block-skip jump target was capped at
+    order[pivot+1].cur_doc(), which can itself equal pivot_doc when more
+    than pivot+1 cursors are aligned — d' == pivot_doc made skip_to a
+    no-op and wand_topk spun forever.  This is the reproducing geometry:
+    after doc5 fills the k=1 heap, both cursors align at doc10 with block
+    bounds below θ."""
+    import numpy as np
+    import pandas as pd
+
+    from search_spark import codec
+    from search_spark.operators.wand import wand_topk
+
+    def blocks(postings):  # [(doc, tf, dl)] → block DataFrame
+        d = np.array([p[0] for p in postings], dtype=np.int64)
+        t = np.array([p[1] for p in postings], dtype=np.int64)
+        dl = np.array([p[2] for p in postings], dtype=np.int64)
+        return pd.DataFrame(codec.make_blocks(d, t, dl, avgdl=10.0))
+
+    by_term = {
+        "a": pd.concat([blocks([(5, 50, 10)]), blocks([(10, 1, 10)])], ignore_index=True),
+        "b": blocks([(10, 1, 10)]),
+    }
+    top, _ = wand_topk(by_term, {"a": 1.0, "b": 1.0}, 10.0, 1)
+    assert len(top) == 1 and top[0][0] == 5  # terminates, correct winner

@@ -82,3 +82,11 @@ def test_empty_text_docs_interleaved(spark, tmp_path):
     for i in range(60):
         texts.append("" if i % 3 == 0 else f"token{i % 7} shared words w{i % 5}")
     _check(spark, tmp_path, texts, ["shared words", "token1 w2", "token3"], k=10)
+
+
+def test_null_text_docs_count_toward_avgdl(spark, tmp_path):
+    """NULL text must behave exactly like empty text: dl=0 and COUNTED in
+    avgdl (regression: F.size(tokens) is NULL for NULL text and avg()
+    silently excluded those docs, skewing every BM25 score vs the oracle)."""
+    texts = ["shared words here", None, "shared other tokens", None, "words words words"]
+    _check(spark, tmp_path, texts, ["shared words", "tokens"], k=5)
