@@ -200,8 +200,26 @@ def wand_topk(
     def theta() -> float:
         return heap[0][0] if len(heap) == k else -INF
 
+    # Defensive progress guard: every iteration must advance some cursor by
+    # at least one posting or one block, so iterations are bounded by
+    # O(postings + blocks) per cursor.  A pruning bug that stops making
+    # progress (the round-2 skip-cap hang) must fail LOUDLY here instead of
+    # stalling an executor task forever.
+    max_iters = 8 + 4 * sum(
+        int(blocks_by_term[t]["n_docs"].sum()) + len(blocks_by_term[t])
+        for t in blocks_by_term
+    ) * max(1, len(cursors))
+    iters = 0
+
     active = [c for c in cursors if not c.exhausted()]
     while active:
+        iters += 1
+        if iters > max_iters:
+            raise RuntimeError(
+                "wand_topk exceeded its safe iteration bound — block-skip "
+                "pruning stopped making progress (engine bug; report the "
+                "corpus/query)"
+            )
         order = sorted(active, key=lambda c: c.cur_doc())
         th = theta()
         acc = 0.0

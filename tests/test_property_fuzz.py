@@ -157,3 +157,53 @@ def test_tf_batches_matches_naive_counts(texts):
                 int(pdf["doc_bucket"][i]),
             )
     assert got == want
+
+
+@given(
+    st.lists(  # per-term: postings as (doc_id gaps, tf), plus split points
+        st.tuples(
+            st.lists(st.tuples(st.integers(1, 5), st.integers(1, 60)), min_size=1, max_size=12),
+            st.integers(0, 3),  # number of extra block splits
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(1, 5),  # k
+)
+@settings(max_examples=250, deadline=None)
+def test_wand_vs_dense_on_multiblock_layouts(term_specs, k):
+    """Scorer-pair parity over MULTI-BLOCK per-term layouts (the
+    pre-compaction segment shape where the round-2 skip-cap hang lived):
+    postings runs are split at random points into separate make_blocks
+    calls, exactly like independent segments would produce.  wand_topk has
+    an internal progress guard, so a reintroduced hang fails loudly here
+    instead of wedging the suite."""
+    from search_spark import codec
+    from search_spark.operators.wand import dense_topk, wand_topk
+
+    avgdl = 7.0
+    by_term = {}
+    for ti, (postings, n_splits) in enumerate(term_specs):
+        doc = 0
+        rows = []
+        for gap, tf in postings:
+            doc += gap
+            rows.append((doc, tf, max(1, tf)))
+        # deterministic split points derived from the spec
+        cuts = sorted({1 + (i * len(rows)) // (n_splits + 1) for i in range(1, n_splits + 1)} - {len(rows)})
+        pieces, start = [], 0
+        for c in cuts + [len(rows)]:
+            if c > start:
+                pieces.append(rows[start:c])
+                start = c
+        frames = []
+        for piece in pieces:
+            d = np.array([r[0] for r in piece], dtype=np.int64)
+            t = np.array([r[1] for r in piece], dtype=np.int64)
+            dl = np.array([r[2] for r in piece], dtype=np.int64)
+            frames.append(pd.DataFrame(codec.make_blocks(d, t, dl, avgdl)))
+        by_term[f"t{ti}"] = pd.concat(frames, ignore_index=True)
+    qidf = {t: 0.5 + 0.25 * i for i, t in enumerate(sorted(by_term))}
+    w, _ = wand_topk(by_term, qidf, avgdl, k)
+    d = dense_topk(by_term, qidf, avgdl, k)
+    assert w == d
