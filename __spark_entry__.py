@@ -328,6 +328,24 @@ def _q_ann_lsh(spark, sf_dir):
     return _lsh_index(spark, sf_dir).topk_for_ids(ANN_QUERY_IDS, ANN_K, radius=1)
 
 
+_IVF_CACHE: dict[str, object] = {}
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF (coarse-quantizer) ANN — the data-adaptive alternative to
+    sign-LSH; persisted centroid-partitioned layout, nprobe pruned scan.
+    Approximate: rows-only driver check; recall pinned in pytest."""
+    from search_spark.operators.ivf_index import IvfIndex, build_ivf_index
+
+    if sf_dir not in _IVF_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="search_spark_ivf_")
+        build_ivf_index(spark, _emb(spark, sf_dir), root)
+        _IVF_CACHE[sf_dir] = IvfIndex(spark, root)
+    return _IVF_CACHE[sf_dir].topk_for_ids(ANN_QUERY_IDS, ANN_K, nprobe=8)
+
+
 def _q_token_counts(spark, sf_dir):
     from search_spark.functions import textstats as ts
 
@@ -529,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_top_pairs": _q_cos_pairs,
         "embedding_top_pairs_brute": _q_cos_pairs_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "text_token_counts": _q_token_counts,
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,

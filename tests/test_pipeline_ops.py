@@ -136,6 +136,63 @@ def test_persisted_lsh_index_recall_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "table_id" in plan
 
 
+def test_persisted_ivf_index_recall_and_pruning(spark, tmp_path):
+    """IVF ANN (coarse-quantizer alternative to sign-LSH): deterministic
+    sample-fit k-means cells, partition-pruned nprobe scan, exact rerank.
+    Clustered data → near-perfect recall probing few cells; the flat
+    sf0.01 corpus (no cluster structure) gets a looser pin."""
+    import numpy as np
+    import pandas as pd
+
+    from search_spark.operators.ivf_index import IvfIndex, build_ivf_index
+    from search_spark.operators.similarity import ann_brute_topk
+
+    # clustered synthetic (seeded): the regime IVF exists for
+    rng = np.random.default_rng(42)
+    N, DIM = 3000, 32
+    centers = rng.standard_normal((30, DIM))
+    M = centers[rng.integers(0, 30, N)] + 0.4 * rng.standard_normal((N, DIM))
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(N, dtype=np.int64),
+                "embedding": [r.astype(np.float32).tolist() for r in M],
+            }
+        )
+    )
+    meta = build_ivf_index(spark, emb, str(tmp_path / "ivf"))
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    qids = [0, 1, 2]
+    nrm = np.sqrt((M * M).sum(1))
+    Cs = (M[qids] @ M.T) / (nrm[qids][:, None] * nrm[None, :])
+    truth = {q: set(np.argsort(-Cs[i])[:10].tolist()) for i, q in enumerate(qids)}
+    res = idx.topk_for_ids(qids, 10, nprobe=4)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rec = sum(len(got.get(q, set()) & truth[q]) / 10 for q in qids) / len(qids)
+    assert rec >= 0.9, rec
+    assert 4 < meta["nlist"]  # actually pruning, not scanning everything
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
+
+    # the flat-embedding fixture: structure-free, looser deterministic pin
+    sf_emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    build_ivf_index(spark, sf_emb, str(tmp_path / "ivf2"))
+    idx2 = IvfIndex(spark, str(tmp_path / "ivf2"))
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_brute_topk(sf_emb, [0, 1, 2, 3, 4], 10).collect()
+    }
+    got2 = {
+        (r["query_id"], r["vec_id"])
+        for r in idx2.topk_for_ids([0, 1, 2, 3, 4], 10, nprobe=8).collect()
+    }
+    assert len(brute & got2) / len(brute) >= 0.5
+
+
 def test_lsh_top_pairs_no_cartesian_and_coverage(spark):
     """Serving top-pairs: no cartesian in the physical plan; coverage of
     the exact brute top-50 is pinned (deterministic banding)."""
