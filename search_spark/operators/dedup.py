@@ -162,19 +162,37 @@ def lsh_candidates(sig: DataFrame, max_band_size: int = MAX_BAND_SIZE) -> DataFr
 
 
 def _verified_pairs(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over candidate pairs; output (a_id, b_id, jacc_micro)."""
+    """Exact Jaccard over candidate pairs; output (a_id, b_id, jacc_micro).
+
+    Candidates are SIZE-PRUNED before the expensive common-shingle join:
+    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose set sizes differ by
+    more than the threshold ratio cannot qualify — an exact necessary
+    condition (results identical, oracles unchanged) that drops the bulk
+    of loose candidates cheaply (two equi-joins on doc ids vs the
+    per-shared-shingle join it replaces)."""
     sizes = shingle_set_sizes(sh)
+    sized = (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("set_size", "sa"),
+            "a_id",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("set_size", "sb"),
+            "b_id",
+        )
+        .filter(
+            F.least("sa", "sb").cast("double")
+            >= F.lit(threshold) * F.greatest("sa", "sb").cast("double")
+        )
+    )
     # exact common-shingle count via double equi-join on (pair, shingle)
     a_sh = sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("b_id"), "shingle")
-    common = (
-        pairs.join(a_sh, "a_id").join(b_sh, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count("*").alias("common"))
-    )
     jacc = (
-        common.join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("set_size", "sa"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("set_size", "sb"), "b_id")
+        sized.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id", "sa", "sb")
+        .agg(F.count("*").alias("common"))
         .withColumn(
             "jacc",
             F.col("common").cast("double")
