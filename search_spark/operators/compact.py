@@ -137,10 +137,15 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
         )
     )
     # unique target dir per compaction (repeated compactions never collide
-    # with the still-live previous layout)
+    # with the still-live previous layout).  Compacted layouts live OUTSIDE
+    # the postings/ discovery tree: a legacy (never-compacted) store's
+    # readers discover postings/* + stream_postings/*, so installing there
+    # would make a not-yet-committed layout visible — double counting.  A
+    # dir under compacted/ is reachable ONLY through the covered-segments
+    # list the commit writes.
     tag = (store.manifest()["current_snapshot"] or 0) + 1
-    new_unit = f"unit=compacted{tag}"
-    new_rel = os.path.join("postings", new_unit)
+    new_unit = f"unit{tag}"
+    new_rel = os.path.join("compacted", new_unit)
     tmp_path = os.path.join(store.root, f"_compact_tmp_{tag}")
     merged.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp_path)
 
@@ -154,22 +159,29 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
     # old dirs remain untouched; the snapshot commit atomically repoints
     # the covered-segments list (single-writer local store; Iceberg's
     # snapshot commit replaces this on a real catalog — sources/iceberg.py)
-    os.makedirs(store.postings_path(), exist_ok=True)
-    os.rename(tmp_path, os.path.join(store.root, new_rel))
+    os.makedirs(os.path.join(store.root, "compacted"), exist_ok=True)
+    dest = os.path.join(store.root, new_rel)
+    if os.path.exists(dest):
+        # leftover from a compaction that crashed after install but before
+        # commit — it was never covered by a snapshot (the commit assigns
+        # the segments list with the same tag), so replacing it is safe
+        shutil.rmtree(dest)
+    os.rename(tmp_path, dest)
     sid = store.commit_snapshot(
         "compact",
         {"blocks": int(row["blocks"]), "postings": int(row["postings"] or 0)},
         segments=[new_rel],
     )
     # cleanup is best-effort: stale dirs are invisible to snapshot-aware
-    # readers even if this is interrupted.  Delete only what the committed
-    # snapshot does NOT cover (defensive — at this point that is every
-    # pre-compaction dir, but expressing it via the manifest means a future
-    # concurrent-writer mistake degrades to leftover dirs, not data loss).
-    covered = {os.path.join("postings", new_unit)} | set(store.covered_segments() or [])
-    for d in os.listdir(store.postings_path()):
-        rel = os.path.join("postings", d)
-        if rel not in covered:
-            shutil.rmtree(os.path.join(store.postings_path(), d), ignore_errors=True)
+    # readers even if this is interrupted.  Everything the pre-compaction
+    # view covered is folded into the new layout: the batch postings tree,
+    # all stream segments, and any earlier compacted dirs the new snapshot
+    # no longer covers.
+    covered = set(store.covered_segments() or [])
+    shutil.rmtree(store.postings_path(), ignore_errors=True)
     shutil.rmtree(os.path.join(store.root, "stream_postings"), ignore_errors=True)
+    for d in os.listdir(os.path.join(store.root, "compacted")):
+        rel = os.path.join("compacted", d)
+        if rel not in covered:
+            shutil.rmtree(os.path.join(store.root, "compacted", d), ignore_errors=True)
     return {"blocks": int(row["blocks"]), "postings": int(row["postings"] or 0), "snapshot_id": sid}

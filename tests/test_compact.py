@@ -62,12 +62,13 @@ def test_compaction_preserves_results_and_shrinks(spark, hybrid_store):
     after = _results(spark, store)
     assert after == before  # bit-identical answers on the compacted layout
 
-    # stream segment dirs are gone; single compacted unit remains, and the
-    # manifest's covered-segments list points exactly at it
+    # stream + batch posting dirs are gone; one compacted layout remains
+    # OUTSIDE the discovery tree, reachable only via the covered list
     assert not os.path.exists(os.path.join(store.root, "stream_postings"))
-    units = os.listdir(store.postings_path())
-    assert len(units) == 1 and units[0].startswith("unit=compacted")
-    assert store.covered_segments() == [os.path.join("postings", units[0])]
+    assert not os.path.exists(store.postings_path())
+    units = os.listdir(os.path.join(store.root, "compacted"))
+    assert len(units) == 1 and units[0].startswith("unit")
+    assert store.covered_segments() == [os.path.join("compacted", units[0])]
 
     # snapshot lineage recorded
     ops = [s["operation"] for s in store.manifest()["snapshots"]]
@@ -83,13 +84,13 @@ def test_stale_segments_invisible_after_compaction(spark, hybrid_store, tmp_path
 
     store = hybrid_store
     before = _results(spark, store)
-    units = os.listdir(store.postings_path())
+    units = os.listdir(os.path.join(store.root, "compacted"))
     assert len(units) == 1  # compacted by the earlier test
 
     # resurrect a fake stale stream segment (copy of the live layout — the
     # worst case: every posting duplicated if the reader unioned it)
     stale = os.path.join(store.root, "stream_postings", "batch=999")
-    shutil.copytree(os.path.join(store.postings_path(), units[0]), stale)
+    shutil.copytree(os.path.join(store.root, "compacted", units[0]), stale)
 
     after = _results(spark, store)
     assert after == before  # stale dir ignored — no double counting
@@ -175,3 +176,40 @@ def test_compact_folds_pending_stream_stats(spark, tmp_path):
     # and the streamed second half is searchable with correct idf/N
     res = IndexReader(spark, store).batch_search([("q", "the")], 10).collect()
     assert len(res) == 10
+
+
+def test_crashed_compaction_recovers(spark, tmp_path, monkeypatch):
+    """Crash at the two worst points of the commit protocol, then re-run:
+    (a) after the merge write but before install, (b) after install but
+    before the snapshot commit.  In both cases readers keep serving the
+    OLD view untouched, and a clean re-run converges."""
+    from search_spark.corpus import generate_pandas as gen
+    from search_spark.operators import compact as cp_mod
+
+    store = IndexStore(str(tmp_path / "idx"), doc_bucket_size=256, term_buckets=4)
+    build_index(spark, spark.createDataFrame(gen(25)), store, n_units=2)
+    before = _results(spark, store)
+
+    # (a) crash before install: commit_snapshot never reached because the
+    # count collect raises (simulates executor failure mid-merge-read)
+    class Boom(RuntimeError):
+        pass
+
+    real_commit = IndexStore.commit_snapshot
+
+    def crash_commit(self, *a, **k):
+        raise Boom("crash before commit")
+
+    monkeypatch.setattr(IndexStore, "commit_snapshot", crash_commit)
+    with pytest.raises(Boom):
+        compact_index(spark, store)
+    monkeypatch.setattr(IndexStore, "commit_snapshot", real_commit)
+
+    # old view intact (manifest unchanged → discovery/covered unchanged)
+    assert _results(spark, store) == before
+    # crashed attempt left an installed-but-uncovered dir; re-run succeeds
+    info = compact_index(spark, store)
+    assert info["postings"] > 0
+    assert _results(spark, store) == before
+    units = os.listdir(os.path.join(store.root, "compacted"))
+    assert len(units) == 1 and units[0].startswith("unit")
