@@ -619,7 +619,7 @@ FROM topk JOIN documents ON documents.doc_id = topk.doc_id""",
 WITH tr AS ({SQL_TRANSCRIPTS_FROM_DOCUMENTS})
 SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,
-       CAST(sum(len({sql_tokens('text')})) AS BIGINT) AS total_tokens,
+       CAST(sum(coalesce(len({sql_tokens('text')}), 0)) AS BIGINT) AS total_tokens,
        CAST(min(ts) AS VARCHAR) AS first_ts,
        CAST(max(ts) AS VARCHAR) AS last_ts
 FROM tr GROUP BY conv_id""",

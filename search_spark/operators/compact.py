@@ -114,6 +114,8 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
     """Merge all segments into the compacted global layout; returns stats."""
     from ..operators.wand import IndexReader
 
+    from ..sources.index_store import _CP_LOCK
+
     # Fold any pending stream-batch term stats into the dictionary FIRST:
     # compaction absorbs those segments' postings into the new layout and
     # removes the per-batch dirs, so deltas not folded now would be
@@ -123,7 +125,14 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
 
         finalize_stream(spark, store)
 
-    reader = IndexReader(spark, store)  # validates versions, unions segments
+    # Snapshot the committed-batch set and the reader's file listing under
+    # the SAME ledger lock the stream sink commits through: a batch that
+    # commits after this point ("late") is excluded from the merge and must
+    # survive — its segment dir is kept and re-listed in the new snapshot's
+    # covered segments instead of being deleted.
+    with _CP_LOCK:
+        pre_batches = set(store.checkpoints().get("stream_batches", {}).keys())
+        reader = IndexReader(spark, store)  # validates versions, unions segments
     posts = reader._posts_df  # term_bucket present from partition discovery
     n_parts = max(2, spark.sparkContext.defaultParallelism)
 
@@ -167,19 +176,38 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
         # the segments list with the same tag), so replacing it is safe
         shutil.rmtree(dest)
     os.rename(tmp_path, dest)
-    sid = store.commit_snapshot(
-        "compact",
-        {"blocks": int(row["blocks"]), "postings": int(row["postings"] or 0)},
-        segments=[new_rel],
-    )
+    # commit under the ledger lock so no stream batch can land between the
+    # late-batch scan and the segments-list write
+    with _CP_LOCK:
+        cp = store.checkpoints().get("stream_batches", {})
+        late = sorted(
+            int(b) for b, v in cp.items() if b not in pre_batches and v.get("n_docs", 0) > 0
+        )
+        segments = [new_rel] + [f"stream_postings/batch={b}" for b in late]
+        sid = store.commit_snapshot(
+            "compact",
+            {
+                "blocks": int(row["blocks"]),
+                "postings": int(row["postings"] or 0),
+                "late_stream_batches": late,
+            },
+            segments=segments,
+        )
     # cleanup is best-effort: stale dirs are invisible to snapshot-aware
     # readers even if this is interrupted.  Everything the pre-compaction
-    # view covered is folded into the new layout: the batch postings tree,
-    # all stream segments, and any earlier compacted dirs the new snapshot
-    # no longer covers.
+    # view covered is folded into the new layout (batch postings tree,
+    # pre-snapshot stream segments, superseded compacted dirs); LATE stream
+    # segments stay on disk and in the covered list.
     covered = set(store.covered_segments() or [])
     shutil.rmtree(store.postings_path(), ignore_errors=True)
-    shutil.rmtree(os.path.join(store.root, "stream_postings"), ignore_errors=True)
+    stream_root = os.path.join(store.root, "stream_postings")
+    if os.path.exists(stream_root):
+        for d in os.listdir(stream_root):
+            rel = os.path.join("stream_postings", d)
+            if rel not in covered:
+                shutil.rmtree(os.path.join(stream_root, d), ignore_errors=True)
+        if not os.listdir(stream_root):
+            os.rmdir(stream_root)
     for d in os.listdir(os.path.join(store.root, "compacted")):
         rel = os.path.join("compacted", d)
         if rel not in covered:

@@ -303,27 +303,38 @@ def finalize(spark: SparkSession, store: IndexStore) -> dict:
     The dictionary aggregates over the store's COVERED postings
     (snapshot-aware loader) so a build onto a previously compacted store
     counts the compacted layout too; per-unit metrics read the batch unit
-    dirs directly (unit provenance only exists there)."""
-    stats = store.stats()
+    dirs directly (unit provenance only exists there).  If the store also
+    holds STREAM segments (batch build onto a streaming store), the
+    dictionary/stats recompute delegates to the hybrid full path so df and
+    N cover the same document set — aggregating stream postings against
+    batch-only stats would skew every idf, and leave those batches to be
+    double-folded later."""
     posts = spark.read.option("basePath", store.postings_path()).parquet(store.postings_path())
 
-    dictionary = (
-        store.load_postings_df(spark).groupBy("term")
-        .agg(
-            F.sum("n_docs").alias("df"),
-            F.sum("cf_block").alias("cf"),
-            F.max("block_max_tf").alias("max_tf"),
-            F.max("block_max_raw").alias("max_raw"),
+    if store.checkpoints().get("stream_batches"):
+        from ..streaming.ingest import finalize_stream
+
+        finalize_stream(spark, store, incremental=False)
+        stats = store.stats()
+    else:
+        stats = store.stats()
+        dictionary = (
+            store.load_postings_df(spark).groupBy("term")
+            .agg(
+                F.sum("n_docs").alias("df"),
+                F.sum("cf_block").alias("cf"),
+                F.max("block_max_tf").alias("max_tf"),
+                F.max("block_max_raw").alias("max_raw"),
+            )
+            .withColumn("idf", idf_col(F.lit(stats["n_docs"]), F.col("df")))
+            # query-side needs the term's partition; storing it here makes the
+            # dictionary lookup the ONLY pre-scan job per query batch
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int"),
+            )
         )
-        .withColumn("idf", idf_col(F.lit(stats["n_docs"]), F.col("df")))
-        # query-side needs the term's partition; storing it here makes the
-        # dictionary lookup the ONLY pre-scan job per query batch
-        .withColumn(
-            "term_bucket",
-            F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int"),
-        )
-    )
-    dictionary.write.mode("overwrite").parquet(store.dictionary_path)
+        dictionary.write.mode("overwrite").parquet(store.dictionary_path)
 
     payload_bytes = (
         F.octet_length("doc_ids_delta") + F.octet_length("tfs") + F.octet_length("dls")

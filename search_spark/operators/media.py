@@ -137,7 +137,9 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, bins, ns = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # NULL payload (NULL source text) behaves like empty bytes:
+                # no feature rows — same as the oracle's no-rows-for-NULL
+                b = np.frombuffer(bytes(payload) if payload is not None else b"", dtype=np.uint8)
                 hist = np.bincount(b >> 4, minlength=FEATURE_BINS)
                 nz = np.flatnonzero(hist)
                 ids.extend([int(doc_id)] * len(nz))

@@ -405,6 +405,7 @@ SELECT doc_id,
        CAST(ord(ch) // 16 AS INT) AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM bytes
+WHERE ch <> ''  -- string_split('', '') yields one '' element; empty docs emit no rows
 GROUP BY doc_id, bin"""
 
 

@@ -93,11 +93,6 @@ def _ingest_one_batch(
         store.mark_stream_batch(batch_id, 0)
         return
 
-    from ..analyzer import tokens_col
-
-    n_tokens = int(
-        staged.agg(F.sum(F.size(tokens_col("text"))).alias("t")).collect()[0]["t"] or 0
-    )
     tf_local = staged.select("doc_id", "doc_bucket", "text").mapInPandas(
         _tf_batches, schema=TF_SCHEMA
     )
@@ -115,8 +110,10 @@ def _ingest_one_batch(
     )
 
     # per-batch build metrics (terms/postings/bytes/skew), same shape as the
-    # batch units' rows but under metrics_stream/ — batch finalize rewrites
-    # metrics/ wholesale, so stream rows live beside it, keyed by batch id
+    # batch units' rows but under metrics_stream/batch={id} — batch finalize
+    # rewrites metrics/ wholesale, so stream rows live beside it; the
+    # per-batch dir + overwrite keeps a crash-replayed batch idempotent
+    # (append to a shared dir would duplicate the row)
     seg = spark.read.option("basePath", stream_segment_path(store, batch_id)).parquet(
         stream_segment_path(store, batch_id)
     )
@@ -124,20 +121,37 @@ def _ingest_one_batch(
         F.octet_length("doc_ids_delta") + F.octet_length("tfs") + F.octet_length("dls")
     )
     per_term = seg.groupBy("term").agg(
-        F.sum("n_docs").alias("tp"), F.sum(payload_bytes).alias("tb")
+        F.sum("n_docs").alias("tp"),
+        F.sum(payload_bytes).alias("tb"),
+        F.sum("cf_block").alias("tc"),
     )
-    metrics = (
-        per_term.agg(
-            F.count("*").alias("terms"),
-            F.sum("tp").alias("postings"),
-            F.sum("tb").alias("bytes"),
-            (F.max("tp") / F.avg("tp")).alias("skew_factor"),
-        )
-        .withColumn("partition_id", F.lit(int(batch_id)))
-        .withColumn("build_ts", F.current_timestamp())
-        .withColumn("lineage", F.lit(f"stream_batch={batch_id}"))
+    mrow = per_term.agg(
+        F.count("*").alias("terms"),
+        F.sum("tp").alias("postings"),
+        F.sum("tb").alias("bytes"),
+        F.sum("tc").alias("tokens"),
+        (F.max("tp") / F.avg("tp")).alias("skew_factor"),
+    ).collect()[0]
+    # token total comes FREE from block metadata (Σ cf_block == Σ dl) —
+    # no second tokenization pass over the batch text
+    n_tokens = int(mrow["tokens"] or 0)
+    metrics = spark.createDataFrame(
+        [
+            (
+                int(mrow["terms"]),
+                int(mrow["postings"] or 0),
+                int(mrow["bytes"] or 0),
+                float(mrow["skew_factor"] or 1.0),
+                int(batch_id),
+                f"stream_batch={batch_id}",
+            )
+        ],
+        "terms bigint, postings bigint, bytes bigint, skew_factor double, "
+        "partition_id int, lineage string",
+    ).withColumn("build_ts", F.current_timestamp())
+    metrics.write.mode("overwrite").parquet(
+        os.path.join(store.root, "metrics_stream", f"batch={batch_id}")
     )
-    metrics.write.mode("append").parquet(os.path.join(store.root, "metrics_stream"))
 
     store.mark_stream_batch(batch_id, n_docs, n_tokens)
 
@@ -175,6 +189,77 @@ def start_ingest(
     return writer.start()
 
 
+#: marker file riding inside the dictionary dir: records which stream
+#: batches (and implied stats) the installed dictionary embodies, so the
+#: install rename IS the fold's commit point
+FOLD_MARKER = "_fold_commit.json"
+
+
+def _write_fold_marker(dict_dir: str, folded: list[int], stats: dict) -> None:
+    import json
+
+    marker = {
+        "folded_batches": sorted(int(b) for b in folded),
+        "n_docs": int(stats["n_docs"]),
+        "total_tokens": int(stats.get("total_tokens", 0)),
+        "avgdl": float(stats["avgdl"]),
+    }
+    with open(os.path.join(dict_dir, FOLD_MARKER), "w") as f:
+        json.dump(marker, f)
+
+
+def _install_dictionary(store: IndexStore, dictionary, folded_after: list[int], stats: dict) -> None:
+    """Stage → marker → rename: the rename atomically installs the data AND
+    the record of what it embodies (also required because incremental plans
+    READ the live dictionary — an in-place overwrite would delete its own
+    input mid-job)."""
+    import shutil
+
+    tmp = store.dictionary_path + ".tmp"
+    aside = store.dictionary_path + ".old"
+    dictionary.write.mode("overwrite").parquet(tmp)
+    _write_fold_marker(tmp, folded_after, stats)
+    shutil.rmtree(aside, ignore_errors=True)
+    if os.path.exists(store.dictionary_path):
+        os.rename(store.dictionary_path, aside)
+    os.rename(tmp, store.dictionary_path)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def _reconcile_fold_marker(store: IndexStore) -> None:
+    """Repair a crash between dictionary install and the ledger/stats
+    writes: the marker inside the INSTALLED dictionary is authoritative for
+    which batches its contents embody — without this, a re-run would fold
+    the same deltas twice (double-counted df/cf/n_docs)."""
+    import json
+
+    path = os.path.join(store.dictionary_path, FOLD_MARKER)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        marker = json.load(f)
+    cp = store.checkpoints()
+    ledger = set(cp.get("dict_folded_batches", []))
+    missing = [b for b in marker["folded_batches"] if b not in ledger]
+    if missing:
+        store.mark_batches_folded(missing)
+    try:
+        stats = store.stats()
+    except FileNotFoundError:
+        stats = {}
+    if stats.get("n_docs") != marker["n_docs"]:
+        stats.update(
+            {
+                "n_docs": marker["n_docs"],
+                "total_tokens": marker["total_tokens"],
+                "avgdl": marker["avgdl"],
+                "doc_bucket_size": store.doc_bucket_size,
+                "term_buckets": store.term_buckets,
+            }
+        )
+        store.write_stats(stats)
+
+
 def finalize_stream(spark: SparkSession, store: IndexStore, incremental: bool = True) -> dict:
     """Refresh global stats + dictionary so an IndexReader over the store
     is rank-identical to a batch build of the same rows.
@@ -194,21 +279,28 @@ def finalize_stream(spark: SparkSession, store: IndexStore, incremental: bool = 
     """
     from ..functions.bm25 import idf_col
 
+    _reconcile_fold_marker(store)
     new_batches = store.unfolded_stream_batches()
+    cp = store.checkpoints()
     can_increment = (
         incremental
         and os.path.exists(store.stats_path)
         and os.path.exists(store.dictionary_path)
         and "total_tokens" in store.stats()
+        # ledger-format guard: batches committed by a pre-n_tokens engine
+        # can't fold incrementally (their token counts are unknown) — fall
+        # back to the full recompute rather than silently understate avgdl
+        and all(
+            "n_tokens" in cp["stream_batches"][str(b)] for b in new_batches
+        )
     )
     if can_increment:
-        cp = store.checkpoints()
         stats = store.stats()
         add_docs = sum(
             cp["stream_batches"][str(b)]["n_docs"] for b in new_batches
         )
         add_tokens = sum(
-            cp["stream_batches"][str(b)].get("n_tokens", 0) for b in new_batches
+            cp["stream_batches"][str(b)]["n_tokens"] for b in new_batches
         )
         stats["n_docs"] = int(stats["n_docs"]) + add_docs
         stats["total_tokens"] = int(stats["total_tokens"]) + add_tokens
@@ -246,20 +338,10 @@ def finalize_stream(spark: SparkSession, store: IndexStore, incremental: bool = 
         ).withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")
         )
-        # overwrite via staging dir: the plan READS the current dictionary,
-        # so an in-place overwrite would delete its own input mid-job.
-        # Swap = two renames; a crash in the window (or mid-write anywhere)
-        # is recovered by `finalize_stream(incremental=False)`, which
-        # rebuilds the dictionary from postings metadata alone.
-        import shutil
-
-        tmp = store.dictionary_path + ".tmp"
-        aside = store.dictionary_path + ".old"
-        dictionary.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(aside, ignore_errors=True)
-        os.rename(store.dictionary_path, aside)
-        os.rename(tmp, store.dictionary_path)
-        shutil.rmtree(aside, ignore_errors=True)
+        folded_after = sorted(
+            set(cp.get("dict_folded_batches", [])) | {int(b) for b in new_batches}
+        )
+        _install_dictionary(store, dictionary, folded_after, stats)
         store.write_stats(stats)
         store.mark_batches_folded(new_batches)
         sid = store.commit_snapshot(
@@ -267,7 +349,12 @@ def finalize_stream(spark: SparkSession, store: IndexStore, incremental: bool = 
         )
         return {"n_docs": stats["n_docs"], "snapshot_id": sid, "incremental": True}
 
-    # full recompute (first finalize, or explicitly requested)
+    # full recompute (first finalize, ledger-format fallback, or explicitly
+    # requested).  The folded set committed at the end is the set captured
+    # HERE — a batch the stream sink commits while the recompute's jobs run
+    # stays unfolded (its files may postdate our listings) and folds on the
+    # next finalize instead of being silently skipped forever.
+    scanned_batches = new_batches
     doc_sources = []
     if os.path.exists(store.docs_path()):
         doc_sources.append(spark.read.parquet(store.docs_path()).select("doc_id", "dl"))
@@ -307,8 +394,12 @@ def finalize_stream(spark: SparkSession, store: IndexStore, incremental: bool = 
         .withColumn("idf", idf_col(F.lit(stats["n_docs"]), F.col("df")))
         .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int"))
     )
-    dictionary.write.mode("overwrite").parquet(store.dictionary_path)
-    store.mark_batches_folded(store.unfolded_stream_batches())
+    folded_after = sorted(
+        set(store.checkpoints().get("dict_folded_batches", []))
+        | {int(b) for b in scanned_batches}
+    )
+    _install_dictionary(store, dictionary, folded_after, stats)
+    store.mark_batches_folded(scanned_batches)
     sid = store.commit_snapshot("finalize_stream", {"n_docs": stats["n_docs"]})
     return {"n_docs": stats["n_docs"], "snapshot_id": sid, "incremental": False}
 

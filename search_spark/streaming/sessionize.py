@@ -119,7 +119,12 @@ def conversation_summary(turns: DataFrame) -> DataFrame:
 
     return turns.groupBy("conv_id").agg(
         F.count("*").cast("bigint").alias("n_turns"),
-        F.sum(F.size(tokens_col("text"))).cast("bigint").alias("total_tokens"),
+        # per-turn coalesce: NULL text counts 0 tokens (matching the
+        # stream's fillna('') tokenizer) instead of nulling the sum for
+        # an all-NULL conversation
+        F.sum(F.coalesce(F.size(tokens_col("text")), F.lit(0)))
+        .cast("bigint")
+        .alias("total_tokens"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )

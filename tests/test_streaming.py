@@ -169,3 +169,51 @@ def test_stream_batches_record_build_metrics(spark, streamed_store):
     for r in rows:
         assert r["terms"] > 0 and r["postings"] > 0 and r["bytes"] > 0
         assert r["skew_factor"] >= 1.0
+
+
+def test_crashed_incremental_fold_does_not_double_count(spark, tmp_path, monkeypatch):
+    """Crash between the dictionary install and the ledger fold-mark, then
+    re-run: the fold marker riding inside the installed dictionary must
+    stop the re-run from folding the same batches twice (df would double)."""
+    from search_spark.corpus import generate_pandas as gen
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    store = IndexStore(str(tmp_path / "idx"), doc_bucket_size=256, term_buckets=4)
+    pdf = gen(30)
+    a = pdf[pdf["conv_id"] < "conv-000015"]
+    b = pdf[pdf["conv_id"] >= "conv-000015"]
+
+    spark.createDataFrame(a).coalesce(1).write.mode("append").parquet(str(src))
+    q = start_ingest(spark, str(src), store, checkpoint_dir=str(tmp_path / "cp"), available_now=True)
+    q.awaitTermination(300)
+    finalize_stream(spark, store)  # bootstrap
+
+    spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(str(src))
+    q = start_ingest(spark, str(src), store, checkpoint_dir=str(tmp_path / "cp"), available_now=True)
+    q.awaitTermination(300)
+
+    # crash AFTER install, BEFORE the ledger mark
+    class Boom(RuntimeError):
+        pass
+
+    real_mark = IndexStore.mark_batches_folded
+
+    def crash_mark(self, ids):
+        raise Boom("crash before fold-mark")
+
+    monkeypatch.setattr(IndexStore, "mark_batches_folded", crash_mark)
+    import pytest as _pytest
+
+    with _pytest.raises(Boom):
+        finalize_stream(spark, store)
+    monkeypatch.setattr(IndexStore, "mark_batches_folded", real_mark)
+
+    # ledger still lists the batch as unfolded, but the installed
+    # dictionary already contains it — the re-run must reconcile, not
+    # re-fold
+    finalize_stream(spark, store)
+    total_df = spark.read.parquet(store.dictionary_path).agg(F.sum("df")).collect()[0][0]
+    posts_total = store.load_postings_df(spark).agg(F.sum("n_docs")).collect()[0][0]
+    assert total_df == posts_total  # no double count

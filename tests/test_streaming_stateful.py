@@ -39,6 +39,8 @@ def test_sessionize_converges_to_batch_summary(spark, tmp_path):
     state store must carry partial sessions across batches, and the final
     update per conv_id must equal the batch aggregation over all rows."""
     pdf = generate_pandas(30)
+    # one NULL-text turn: stream (fillna) and batch (coalesce) must agree
+    pdf.loc[pdf.index[0], "text"] = None
     # split by turn parity → every conversation spans both files/batches
     a = pdf[pdf["turn_idx"] % 2 == 0]
     b = pdf[pdf["turn_idx"] % 2 == 1]
