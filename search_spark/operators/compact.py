@@ -111,10 +111,23 @@ def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def compact_index(spark: SparkSession, store: IndexStore) -> dict:
-    """Merge all segments into the compacted global layout; returns stats."""
-    from ..operators.wand import IndexReader
+    """Merge all segments into the compacted global layout; returns stats.
 
-    from ..sources.index_store import _CP_LOCK
+    Runs under the store's MAINTENANCE GATE for its whole duration: stream
+    micro-batch commits wait until the compaction finishes (and vice
+    versa), so no batch can land mid-merge — the interleavings that would
+    otherwise merge-but-not-fold, delete-but-not-commit, or strand a
+    just-written segment are excluded by construction rather than patched
+    point by point.  A waiting micro-batch is the intended cost of a
+    maintenance op."""
+    from ..sources.index_store import _MAINT_LOCK
+
+    with _MAINT_LOCK:
+        return _compact_index_locked(spark, store)
+
+
+def _compact_index_locked(spark: SparkSession, store: IndexStore) -> dict:
+    from ..operators.wand import IndexReader
 
     # Fold any pending stream-batch term stats into the dictionary FIRST:
     # compaction absorbs those segments' postings into the new layout and
@@ -125,14 +138,12 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
 
         finalize_stream(spark, store)
 
-    # Snapshot the committed-batch set and the reader's file listing under
-    # the SAME ledger lock the stream sink commits through: a batch that
-    # commits after this point ("late") is excluded from the merge and must
-    # survive — its segment dir is kept and re-listed in the new snapshot's
-    # covered segments instead of being deleted.
-    with _CP_LOCK:
-        pre_batches = set(store.checkpoints().get("stream_batches", {}).keys())
-        reader = IndexReader(spark, store)  # validates versions, unions segments
+    # Belt-and-braces late-batch bookkeeping: under the maintenance gate no
+    # batch can commit during the merge, but the covered-segments math
+    # below still tolerates one (kept on disk + re-listed) in case a future
+    # caller bypasses the gate.
+    pre_batches = set(store.checkpoints().get("stream_batches", {}).keys())
+    reader = IndexReader(spark, store)  # validates versions, unions segments
     posts = reader._posts_df  # term_bucket present from partition discovery
     n_parts = max(2, spark.sparkContext.defaultParallelism)
 
@@ -178,6 +189,8 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
     os.rename(tmp_path, dest)
     # commit under the ledger lock so no stream batch can land between the
     # late-batch scan and the segments-list write
+    from ..sources.index_store import _CP_LOCK
+
     with _CP_LOCK:
         cp = store.checkpoints().get("stream_batches", {})
         late = sorted(
@@ -206,8 +219,11 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
             rel = os.path.join("stream_postings", d)
             if rel not in covered:
                 shutil.rmtree(os.path.join(stream_root, d), ignore_errors=True)
-        if not os.listdir(stream_root):
-            os.rmdir(stream_root)
+        try:
+            if not os.listdir(stream_root):
+                os.rmdir(stream_root)
+        except OSError:
+            pass  # defensive: a dir appearing here is kept, never an error
     for d in os.listdir(os.path.join(store.root, "compacted")):
         rel = os.path.join("compacted", d)
         if rel not in covered:

@@ -42,6 +42,17 @@ from typing import Any
 #: unit-builder threads (reentrant: stream commits nest a segment update)
 _CP_LOCK = threading.RLock()
 
+#: MAINTENANCE GATE: a whole stream micro-batch ingest and a whole
+#: maintenance operation (compaction, dictionary finalize) mutually
+#: exclude — point locks around individual ledger writes cannot prevent a
+#: batch landing mid-merge (merged-but-unfolded, deleted-but-uncommitted,
+#: counted-in-stats-but-not-folded races).  A micro-batch waiting out a
+#: compaction is correct and expected semantics; lock ORDER is always
+#: _MAINT_LOCK → _CP_LOCK, never the reverse (deadlock-free).  In-process
+#: only — the documented single-application scope of the local store
+#: (Iceberg's optimistic snapshot conflicts replace this on a catalog).
+_MAINT_LOCK = threading.RLock()
+
 from .. import FORMAT_VERSION
 from ..analyzer import ANALYZER_VERSION
 

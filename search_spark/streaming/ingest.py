@@ -60,7 +60,20 @@ def stream_docs_path(store: IndexStore, batch_id: int) -> str:
 def _ingest_one_batch(
     store: IndexStore, batch_df: DataFrame, batch_id: int, avgdl_hint: float
 ) -> None:
-    """foreachBatch body: one micro-batch → one immutable segment."""
+    """foreachBatch body: one micro-batch → one immutable segment.
+
+    Runs under the store's MAINTENANCE GATE: a batch is either fully
+    committed before a compaction/finalize starts or starts after it ends —
+    no mid-flight interleavings (see index_store._MAINT_LOCK)."""
+    from ..sources.index_store import _MAINT_LOCK
+
+    with _MAINT_LOCK:
+        _ingest_one_batch_locked(store, batch_df, batch_id, avgdl_hint)
+
+
+def _ingest_one_batch_locked(
+    store: IndexStore, batch_df: DataFrame, batch_id: int, avgdl_hint: float
+) -> None:
     cp = store.checkpoints()
     done = cp.get("stream_batches", {})
     if str(batch_id) in done:
@@ -113,7 +126,9 @@ def _ingest_one_batch(
     # batch units' rows but under metrics_stream/batch={id} — batch finalize
     # rewrites metrics/ wholesale, so stream rows live beside it; the
     # per-batch dir + overwrite keeps a crash-replayed batch idempotent
-    # (append to a shared dir would duplicate the row)
+    # (append to a shared dir would duplicate the row).  This partitioned
+    # layout is part of on-disk FORMAT_VERSION 2 from its first release —
+    # no flat-file stores exist to migrate.
     seg = spark.read.option("basePath", stream_segment_path(store, batch_id)).parquet(
         stream_segment_path(store, batch_id)
     )
@@ -278,7 +293,13 @@ def finalize_stream(spark: SparkSession, store: IndexStore, incremental: bool = 
     tests/test_streaming.py.
     """
     from ..functions.bm25 import idf_col
+    from ..sources.index_store import _MAINT_LOCK
 
+    with _MAINT_LOCK:
+        return _finalize_stream_locked(spark, store, incremental, idf_col)
+
+
+def _finalize_stream_locked(spark, store, incremental, idf_col) -> dict:
     _reconcile_fold_marker(store)
     new_batches = store.unfolded_stream_batches()
     cp = store.checkpoints()
@@ -350,10 +371,10 @@ def finalize_stream(spark: SparkSession, store: IndexStore, incremental: bool = 
         return {"n_docs": stats["n_docs"], "snapshot_id": sid, "incremental": True}
 
     # full recompute (first finalize, ledger-format fallback, or explicitly
-    # requested).  The folded set committed at the end is the set captured
-    # HERE — a batch the stream sink commits while the recompute's jobs run
-    # stays unfolded (its files may postdate our listings) and folds on the
-    # next finalize instead of being silently skipped forever.
+    # requested).  Under the maintenance gate no batch can commit while the
+    # recompute runs; the folded set is still the set captured up front so
+    # a gate-bypassing caller degrades to "batch folds next time", never to
+    # "batch marked folded but missing from the dictionary".
     scanned_batches = new_batches
     doc_sources = []
     if os.path.exists(store.docs_path()):
