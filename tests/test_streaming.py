@@ -217,3 +217,72 @@ def test_crashed_incremental_fold_does_not_double_count(spark, tmp_path, monkeyp
     total_df = spark.read.parquet(store.dictionary_path).agg(F.sum("df")).collect()[0][0]
     posts_total = store.load_postings_df(spark).agg(F.sum("n_docs")).collect()[0][0]
     assert total_df == posts_total  # no double count
+
+
+def test_compaction_during_live_stream_conserves_everything(spark, tmp_path):
+    """Chaos test: run compaction TWICE while a continuous stream is
+    actively ingesting.  Whatever the interleaving, the maintenance gate
+    must guarantee the invariants: no posting lost or double-counted
+    (dictionary df == postings total), all docs searchable, and results
+    rank-identical to a one-shot batch build over the same rows."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from search_spark.operators.compact import compact_index
+    from search_spark.operators.wand import IndexReader
+
+    pdf = generate_pandas(60)
+    chunks = [
+        pdf[pdf["conv_id"] < "conv-000020"],
+        pdf[(pdf["conv_id"] >= "conv-000020") & (pdf["conv_id"] < "conv-000040")],
+        pdf[pdf["conv_id"] >= "conv-000040"],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    store = IndexStore(str(tmp_path / "idx"), doc_bucket_size=256, term_buckets=4)
+
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(str(src))
+    q = start_ingest(
+        spark, str(src), store, checkpoint_dir=str(tmp_path / "cp"),
+        available_now=False, max_files_per_trigger=1,
+    )
+    try:
+        # wait for batch 0, then interleave file drops with compactions
+        deadline = _time.time() + 120
+        while not store.checkpoints().get("stream_batches") and _time.time() < deadline:
+            _time.sleep(0.5)
+        spark.createDataFrame(chunks[1]).coalesce(1).write.mode("append").parquet(str(src))
+        compact_index(spark, store)
+        spark.createDataFrame(chunks[2]).coalesce(1).write.mode("append").parquet(str(src))
+        deadline = _time.time() + 120
+        while (
+            sum(v["n_docs"] for v in store.checkpoints().get("stream_batches", {}).values())
+            < len(pdf)
+            and _time.time() < deadline
+        ):
+            _time.sleep(0.5)
+        compact_index(spark, store)
+    finally:
+        q.stop()
+    finalize_stream(spark, store)
+
+    # invariant 1: every ingested doc is accounted for
+    assert store.stats()["n_docs"] == len(pdf)
+    # invariant 2: dictionary df == total postings (no loss, no double fold)
+    total_df = spark.read.parquet(store.dictionary_path).agg(F.sum("df")).collect()[0][0]
+    posts_total = store.load_postings_df(spark).agg(F.sum("n_docs")).collect()[0][0]
+    assert total_df == posts_total
+    # invariant 3: rank identity vs the numpy oracle over the same rows
+    ordered = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    oracle = OracleIndex.build(
+        ordered.assign(doc_id=lambda d: STREAM_DOC_BASE + d.index)[["doc_id", "text"]]
+    )
+    reader = IndexReader(spark, store)
+    for qtext in ["the fast", "needle1 needle2", "w0003 w0050 the"]:
+        got = [
+            (r["doc_id"], round(r["score"] * 1e6))
+            for r in reader.batch_search([("q", qtext)], 10).orderBy("rank").collect()
+        ]
+        want = [(d, round(s * 1e6)) for d, s in oracle.search(qtext, 10)]
+        assert got == want, (qtext, got, want)
