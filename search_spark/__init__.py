@@ -50,6 +50,13 @@ def __getattr__(name):
         "assign_doc_ids": ("search_spark.operators.docids", "assign_doc_ids"),
         "start_ingest": ("search_spark.streaming.ingest", "start_ingest"),
         "finalize_stream": ("search_spark.streaming.ingest", "finalize_stream"),
+        "build_lsh_index": ("search_spark.operators.ann_index", "build_lsh_index"),
+        "LshIndex": ("search_spark.operators.ann_index", "LshIndex"),
+        "build_ivf_index": ("search_spark.operators.ivf_index", "build_ivf_index"),
+        "IvfIndex": ("search_spark.operators.ivf_index", "IvfIndex"),
+        "load_queryset": ("search_spark.sources.queryset", "load_queryset"),
+        "sessionize_stream": ("search_spark.streaming.sessionize", "sessionize_stream"),
+        "conversation_summary": ("search_spark.streaming.sessionize", "conversation_summary"),
     }
     if name in facade:
         mod, attr = facade[name]
