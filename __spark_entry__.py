@@ -322,9 +322,10 @@ def _lsh_index(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
-    # approximate path: driver records rows-only; recall vs brute force is
-    # pinned in tests/test_pipeline_ops.py.  Runs off the PERSISTED
-    # (table_id, bucket)-partitioned layout with multi-probe pruning.
+    # approximate vs BRUTE force (recall pinned in tests/test_pipeline_ops
+    # .py) but DETERMINISTIC, so it carries an exact oracle: _ann_lsh_oracle
+    # mirrors the multi-probe bucket expansion in SQL.  Runs off the
+    # PERSISTED (table_id, bucket)-partitioned layout.
     return _lsh_index(spark, sf_dir).topk_for_ids(ANN_QUERY_IDS, ANN_K, radius=1)
 
 
@@ -334,7 +335,9 @@ _IVF_CACHE: dict[str, object] = {}
 def _q_ann_ivf(spark, sf_dir):
     """IVF (coarse-quantizer) ANN — the data-adaptive alternative to
     sign-LSH; persisted centroid-partitioned layout, nprobe pruned scan.
-    Approximate: rows-only driver check; recall pinned in pytest."""
+    Approximate vs brute force (recall pinned in pytest) but
+    deterministic end-to-end, so it carries an exact pinned-centroid
+    oracle (_ann_ivf_oracle)."""
     from search_spark.operators.ivf_index import IvfIndex, build_ivf_index
 
     if sf_dir not in _IVF_CACHE:
@@ -343,7 +346,59 @@ def _q_ann_ivf(spark, sf_dir):
         root = tempfile.mkdtemp(prefix="search_spark_ivf_")
         build_ivf_index(spark, _emb(spark, sf_dir), root)
         _IVF_CACHE[sf_dir] = IvfIndex(spark, root)
-    return _IVF_CACHE[sf_dir].topk_for_ids(ANN_QUERY_IDS, ANN_K, nprobe=8)
+    return _IVF_CACHE[sf_dir].topk_for_ids(ANN_QUERY_IDS, ANN_K, nprobe=ANN_NPROBE)
+
+
+#: the driver's correctness gate runs at sf=0.01 (task contract); the two
+#: index-backed ANN oracles need corpus-derived constants (plane count /
+#: centroid matrix), re-derived here WITHOUT Spark from the same parquet
+_GATE_SF_DIR = _os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
+ANN_NPROBE = 8
+
+
+def _gate_emb_rows() -> list[tuple[int, list[float]]]:
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        return con.execute(
+            "SELECT vec_id, embedding FROM "
+            f"read_parquet('{_GATE_SF_DIR}/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def _ann_lsh_oracle() -> str | None:
+    """Exact mirror of _q_ann_lsh: the persisted index auto-scales its
+    plane count from n, so the oracle re-derives planes from the same
+    corpus (everything else — planes, probe masks, fold order — is a pure
+    function of the pinned hash spec)."""
+    try:
+        from search_spark.operators.ann_index import auto_planes
+
+        n = len(_gate_emb_rows())
+        return osp.lsh_index_topk_sql(
+            ANN_QUERY_IDS, ANN_K, EMB_DIM, PAIR_LSH_TABLES, auto_planes(n), radius=1
+        )
+    except Exception:
+        return None  # missing gate data → driver records rows-only
+
+
+def _ann_ivf_oracle() -> str | None:
+    """Exact mirror of _q_ann_ivf: centroids are a reproducible pure
+    function of the corpus (hash-strided sample + fixed-round k-means);
+    centroids_py re-derives them without Spark and the SQL assigns cells /
+    probes by argmax against the inlined matrix."""
+    try:
+        from search_spark.operators.ivf_index import centroids_py
+
+        C = centroids_py(_gate_emb_rows())
+        return osp.ivf_topk_sql(
+            ANN_QUERY_IDS, ANN_K, [list(c) for c in C], ANN_NPROBE
+        )
+    except Exception:
+        return None
 
 
 def _q_token_counts(spark, sf_dir):
@@ -570,7 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "bm25_topk_head": osql.bm25_topk_sql(Q_HEAD, _TOPK),
         "bm25_topk_mix": osql.bm25_topk_sql(Q_MIX, _TOPK),
         "bm25_topk_rare": osql.bm25_topk_sql(Q_RARE, _TOPK),
@@ -599,7 +654,6 @@ def oracle_sql() -> dict[str, str]:
             PAIR_TOP_N, EMB_DIM, PAIR_LSH_TABLES, PAIR_LSH_PLANES, PAIR_MAX_BAND
         ),
         "embedding_top_pairs_brute": osp.cosine_top_pairs_sql(PAIR_TOP_N),
-        # ann_lsh_topk: intentionally no oracle (approximate; rows-only check)
         "text_token_counts": osp.token_counts_sql(),
         "text_lang_id": osp.lang_id_sql_query(),
         "text_quality": osp.quality_sql_query(),
@@ -638,3 +692,9 @@ GROUP BY 1, 2""",
         "eval_spearman": stats_sql.spearman_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
         "eval_mse": stats_sql.mse_sql(_EVAL_REL_SQL, "n_chars", "re_tokens"),
     }
+    # corpus-derived ANN oracles (exact mirrors; omitted — rows-only —
+    # only if the gate parquet is unreadable here)
+    for name, sql in (("ann_lsh_topk", _ann_lsh_oracle()), ("ann_ivf_topk", _ann_ivf_oracle())):
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -148,11 +148,14 @@ _REV_E4 = (
 
 
 def pricing_summary_sql(cutoff: str = "1998-09-02") -> str:
+    # Every sum() carries an OUTER cast: DuckDB's sum(BIGINT) yields HUGEINT
+    # (Arrow decimal128), which hash-mismatches Spark's int64 even when the
+    # values are identical.  Same convention as events_windowed's oracle.
     return f"""
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum({_REV_E4}) AS sum_disc_e4,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum({_REV_E4}) AS BIGINT) AS sum_disc_e4,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
@@ -169,7 +172,7 @@ def shipping_priority_sql(
 SELECT o_orderkey,
        CAST(o_orderdate AS VARCHAR) AS o_orderdate,
        o_orderpriority,
-       sum({_REV_E4}) AS revenue_e4
+       CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4
 FROM customer
 JOIN orders   ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -185,7 +188,7 @@ def revenue_by_nation_sql(
     region: str = "ASIA", date_from: str = "1996-01-01", date_to: str = "1997-01-01"
 ) -> str:
     return f"""
-SELECT n_name, sum({_REV_E4}) AS revenue_e4
+SELECT n_name, CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey

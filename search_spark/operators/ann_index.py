@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from .. import FORMAT_VERSION
 from ..functions.hashing import HASH_SPEC_VERSION, h32_py
+from ..functions.npfold import fold_dot, fold_norm
 from .similarity import cosine_col
 
 #: default hash-table count (multi-table LSH: union of probed buckets)
@@ -72,13 +73,15 @@ def plane_matrix(dim: int, tables: int, planes: int) -> np.ndarray:
 def buckets_np(E: np.ndarray, P: np.ndarray) -> np.ndarray:
     """(tables, n) int64 bucket ids: bit p of table t = sign(E · P[t,p]).
 
-    One matmul per table — the vectorized form of the per-plane fold; used
-    by BOTH build and query so bucket assignment is bit-identical."""
+    Projections use the SEQUENTIAL-FOLD kernel (functions/npfold.py), not a
+    BLAS matmul: the sign test sits at a float boundary, and fold order is
+    what makes build, query, the ephemeral JVM-fold variant
+    (similarity.lsh_bucket_col), and the DuckDB oracle agree bit-for-bit."""
     tables, planes, _ = P.shape
     out = np.empty((tables, E.shape[0]), dtype=np.int64)
     w = (1 << np.arange(planes, dtype=np.int64))
     for t in range(tables):
-        out[t] = ((E @ P[t].T) > 0) @ w
+        out[t] = (fold_dot(E, P[t]) > 0) @ w
     return out
 
 
@@ -126,7 +129,7 @@ def build_lsh_index(
             if not len(pdf):
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            nrm = np.sqrt((E * E).sum(axis=1))
+            nrm = fold_norm(E)  # fold order matches norm_col / the oracle
             B = buckets_np(E, P)
             frames = []
             for t in range(tables):
@@ -205,7 +208,7 @@ class LshIndex:
             )
         tables, planes = self.meta["tables"], self.meta["planes"]
         Q = np.asarray([v for _, v in queries], dtype=np.float64)
-        qn = np.sqrt((Q * Q).sum(axis=1))
+        qn = fold_norm(Q)
         B = buckets_np(Q, self._P)
         masks = _probe_masks(planes, radius)
 

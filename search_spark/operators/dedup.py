@@ -51,6 +51,12 @@ MAX_BAND_SIZE = 1024
 #: auto shingle-df cap: smallest df covering this fraction of distinct
 #: shingles (the Zipf head above it is dropped from candidate generation)
 SHINGLE_DF_QUANTILE = 0.995
+#: floor for the auto cap — on mostly-unique corpora (≥ quantile of distinct
+#: shingles at df=1, the norm for w-gram shingles over natural text) the raw
+#: quantile degenerates to 1, which would exclude every REPEATED shingle and
+#: silently find zero pairs.  df ≤ 8 contributes ≤ 64 candidate rows per
+#: shingle — nowhere near the quadratic head the cap exists to cut.
+SHINGLE_DF_CAP_MIN = 8
 
 
 # -- shared shingling -------------------------------------------------------
@@ -238,8 +244,8 @@ def auto_shingle_df_cap(sh: DataFrame, quantile: float = SHINGLE_DF_QUANTILE) ->
     for sdf, n in hist:
         acc += n
         if acc >= quantile * total:
-            return sdf
-    return hist[-1][0] if hist else 1
+            return max(sdf, SHINGLE_DF_CAP_MIN)
+    return max(hist[-1][0], SHINGLE_DF_CAP_MIN) if hist else SHINGLE_DF_CAP_MIN
 
 
 def ngram_jaccard_pairs(
@@ -263,11 +269,16 @@ def ngram_jaccard_pairs(
     if max_shingle_df == "auto":
         max_shingle_df = auto_shingle_df_cap(sh)
     if max_shingle_df is not None:
+        # Broadcast the OVER-cap head set and anti-join: the head is the
+        # Zipf tip (thousands of shingles by construction — it's the ≤
+        # (1-quantile) tail of the distinct-shingle distribution), while
+        # the under-cap side is ~all distinct shingles and would OOM every
+        # executor as a broadcast at corpus scale.  Semantics identical to
+        # the inner join on (sdf <= cap): every shingle has sdf >= 1, so
+        # NOT-in-head == sdf <= cap.
         dfs = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-        cand_sh = sh.join(
-            F.broadcast(dfs.filter(F.col("sdf") <= max_shingle_df).select("shingle")),
-            "shingle",
-        )
+        head = dfs.filter(F.col("sdf") > max_shingle_df).select("shingle")
+        cand_sh = sh.join(F.broadcast(head), "shingle", "left_anti")
     a = cand_sh.select(F.col("doc_id").alias("a_id"), "shingle")
     b = cand_sh.select(F.col("doc_id").alias("b_id"), "shingle")
     pairs = (

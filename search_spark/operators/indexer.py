@@ -87,10 +87,15 @@ def stage_docs(spark: SparkSession, transcripts: DataFrame, store: IndexStore, n
     row = staged.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("total")
     ).collect()[0]
+    if int(row["n"]) == 0:
+        raise ValueError(
+            "stage_docs: input corpus is empty — nothing to index "
+            "(0 rows after docID assignment)"
+        )
     stats = {
         "n_docs": int(row["n"]),
         "avgdl": float(row["avgdl"] or 0.0),
-        "total_tokens": int(row["total"]),
+        "total_tokens": int(row["total"] or 0),
         "doc_bucket_size": store.doc_bucket_size,
         "term_buckets": store.term_buckets,
         "n_units": n_units,

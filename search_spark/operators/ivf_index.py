@@ -3,11 +3,14 @@ alternative to the sign-LSH path (operators/ann_index.py).
 
 IVF-flat, Spark-first:
 
-- **Train**: k-means on a deterministic sample (the ``nlist × 40``
-  lowest-``vec_id`` vectors — a pruned scan, not a full collect), iterated
-  a fixed number of rounds in numpy on the driver.  Sample-fit is the
-  standard IVF recipe (the quantizer needs the distribution's shape, not
-  every row); fixed seed/order/rounds make the centroids bit-reproducible.
+- **Train**: k-means on a deterministic hash-strided sample
+  (``h32(vec_id) % stride == 0``, bounded at ``nlist × 40`` rows — a
+  pruned scan, not a full collect; corpus-representative even when vec_id
+  correlates with source/time), iterated a fixed number of rounds in
+  numpy on the driver.  Sample-fit is the standard IVF recipe (the
+  quantizer needs the distribution's shape, not every row); the pinned
+  hash/order/rounds make the centroids bit-reproducible — the DuckDB
+  oracle re-derives them through the same pure construction.
 - **Assign**: one ``mapInPandas`` pass — a single matmul per Arrow batch
   against the broadcast centroid matrix — writes the corpus partitioned by
   ``centroid`` (same pruned-layout story as postings/term_bucket and
@@ -40,10 +43,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import FORMAT_VERSION
+from ..functions.hashing import h32_col, h32_py
+from ..functions.npfold import fold_dot, fold_norm
 from .similarity import cosine_col
 
 KMEANS_ROUNDS = 12
 SAMPLE_PER_CENTROID = 40
+
+
+def sample_stride(n: int, n_sample: int) -> int:
+    """Deterministic hash-sample stride: keep rows with
+    h32(vec_id) % stride == 0 — expected ≥ n_sample rows at any n."""
+    return max(1, n // max(1, n_sample))
 
 
 def auto_nlist(n: int) -> int:
@@ -67,6 +78,28 @@ def _kmeans_fit(sample: np.ndarray, nlist: int, rounds: int = KMEANS_ROUNDS) -> 
     return C
 
 
+def centroids_py(rows: list[tuple[int, list[float]]], nlist: int | None = None) -> np.ndarray:
+    """(vec_id, embedding) rows → the centroid matrix build_ivf_index
+    would train, WITHOUT Spark — the oracle-side twin: same hash-strided
+    sample rule (h32_py ≡ h32_col by the pinned spec, functions/hashing)
+    and the same fixed-round _kmeans_fit, so the result is bit-identical.
+    This is what lets the driver gate pin an exact DuckDB oracle on the
+    IVF entry (oracle_sql_pipeline.ivf_topk_sql)."""
+    n = len(rows)
+    if n == 0:
+        raise ValueError("empty embeddings input")
+    if nlist is None:
+        nlist = auto_nlist(n)
+    n_sample = min(n, nlist * SAMPLE_PER_CENTROID)
+    stride = sample_stride(n, n_sample)
+    sel = [
+        list(emb)
+        for vid, emb in sorted(rows, key=lambda r: r[0])
+        if h32_py(str(int(vid))) % stride == 0
+    ][:n_sample]
+    return _kmeans_fit(np.asarray(sel, dtype=np.float64), nlist)
+
+
 def build_ivf_index(
     spark: SparkSession,
     emb: DataFrame,
@@ -82,10 +115,19 @@ def build_ivf_index(
     if nlist is None:
         nlist = auto_nlist(n)
     n_sample = min(n, nlist * SAMPLE_PER_CENTROID)
+    # corpus-representative deterministic sample: hash-strided on vec_id
+    # (lowest-vec_id rows would bias the quantizer when vec_id correlates
+    # with source/time), bounded at n_sample rows in vec_id order
+    stride = sample_stride(n, n_sample)
     sample = np.asarray(
         [
             r["embedding"]
-            for r in emb.orderBy("vec_id").limit(n_sample).collect()
+            for r in (
+                emb.filter(F.pmod(h32_col(F.col("vec_id")), F.lit(stride)) == 0)
+                .orderBy("vec_id")
+                .limit(n_sample)
+                .collect()
+            )
         ],
         dtype=np.float64,
     )
@@ -96,8 +138,12 @@ def build_ivf_index(
             if not len(pdf):
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            nrm = np.maximum(np.sqrt((E * E).sum(axis=1)), 1e-12)
-            cent = np.argmax((E / nrm[:, None]) @ C.T, axis=1)
+            # fold-order norms/projections: bit-identical to the JVM fold
+            # and the DuckDB oracle (functions/npfold.py); argmax over raw
+            # dot — positive scaling by 1/nrm cannot change the winner, and
+            # skipping the divide keeps the float path identical to SQL's
+            nrm = np.maximum(fold_norm(E), 1e-12)
+            cent = np.argmax(fold_dot(E, C), axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
@@ -159,13 +205,13 @@ class IvfIndex:
                 [], "query_id bigint, vec_id bigint, rank int, cos_micro bigint"
             )
         Q = np.asarray([v for _, v in queries], dtype=np.float64)
-        qn = np.maximum(np.sqrt((Q * Q).sum(axis=1)), 1e-12)
-        sims = (Q / qn[:, None]) @ self._C.T
+        qn = np.maximum(fold_norm(Q), 1e-12)
+        sims = fold_dot(Q, self._C)  # raw dot: same probe ORDER as q·c/|q|
         nprobe = min(nprobe, self.meta["nlist"])
         probe_rows = []
         probed: set[int] = set()
         for qi, (qid, vec) in enumerate(queries):
-            cells = np.argsort(-sims[qi])[:nprobe]
+            cells = np.argsort(-sims[qi], kind="stable")[:nprobe]
             probed.update(int(c) for c in cells)
             for c in cells:
                 probe_rows.append(

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import h32_py
+from .dedup import MAX_BAND_SIZE, band_guard
 
 LSH_PLANES = 4   # bucket key bits per hash table
 LSH_TABLES = 4   # independent hash tables (multi-table LSH: union of candidates)
@@ -124,10 +125,9 @@ def _plane_signs(dim: int, table: int, plane: int) -> list[float]:
     ]
 
 
-#: band groups larger than this are dropped from candidate generation —
-#: an all-duplicates corpus would otherwise create one unbounded quadratic
-#: self-join group (exact/MinHash dedup is the right tool for those rows)
-MAX_BAND_SIZE = 1024
+# MAX_BAND_SIZE / band_guard are the ENGINE-WIDE banded-self-join guard,
+# defined once in operators/dedup.py and shared here (same failure mode:
+# a degenerate corpus forming one unbounded quadratic join group).
 
 
 def lsh_bucket_col(emb: Column, dim: int, table: int, planes: int = LSH_PLANES) -> Column:
@@ -157,8 +157,6 @@ def lsh_candidate_pairs(
     ``max_band_size``² by the band guard, so no key can degenerate into an
     unbounded quadratic group (the failure mode of the all-pairs join).
     """
-    from .dedup import band_guard
-
     b = lsh_bucketed(emb, dim, tables, planes).select("vec_id", "table_id", "bucket")
     kept = band_guard(b, ["table_id", "bucket"], max_band_size)
     a = kept.select(F.col("vec_id").alias("a_id"), "table_id", "bucket")

@@ -554,8 +554,33 @@ class IndexReader:
     def rehydrate(self, results: DataFrame) -> DataFrame:
         """Join results back to the staged docs table — the reference keeps
         the payload inline in each entry (/root/reference/index.go:16-17);
-        we store it relationally and join on demand."""
-        docs = self.spark.read.parquet(self.store.docs_path()).select(
-            "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"
-        )
+        we store it relationally and join on demand.
+
+        Doc sources mirror the index's own discovery (streaming/ingest.py
+        finalize): batch docs PLUS stream_docs/batch=* — a stream-only
+        store has no batch docs dir at all, and a hybrid store's streamed
+        doc_ids would otherwise rehydrate to NULLs."""
+        import os
+
+        cols = ["doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        sources = []
+        if os.path.exists(self.store.docs_path()):
+            sources.append(
+                self.spark.read.parquet(self.store.docs_path()).select(*cols)
+            )
+        sdocs_root = os.path.join(self.store.root, "stream_docs")
+        if os.path.exists(sdocs_root):
+            sources.append(
+                self.spark.read.option("basePath", sdocs_root)
+                .parquet(sdocs_root)
+                .select(*cols)
+            )
+        if not sources:
+            raise FileNotFoundError(
+                f"no docs staged under {self.store.root} (neither batch docs "
+                "nor stream_docs) — build or ingest before rehydrating"
+            )
+        docs = sources[0]
+        for d in sources[1:]:
+            docs = docs.unionByName(d)
         return results.join(docs, "doc_id", "left")

@@ -29,6 +29,7 @@ from .operators.dedup import (
     JACCARD_T,
     MAX_BAND_SIZE,
     NGRAM_W,
+    SHINGLE_DF_CAP_MIN,
     SHINGLE_DF_QUANTILE,
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
@@ -140,12 +141,14 @@ def ngram_jaccard_capped_sql(
     """Mirror of dedup.ngram_jaccard_pairs with the DEFAULT auto cap: the
     cap is the smallest shingle-df covering ≥ quantile of distinct
     shingles (cume_dist — the SQL form of auto_shingle_df_cap's histogram
-    walk; both are exact integer order statistics)."""
+    walk; both are exact integer order statistics), floored at
+    SHINGLE_DF_CAP_MIN exactly like the engine (mostly-unique corpora
+    would otherwise degenerate the cap to 1 and find zero pairs)."""
     return f"""
 WITH {_shingle_ctes(docs_sql)},
   dfs AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle),
   cut AS (
-    SELECT min(sdf) AS cap FROM (
+    SELECT greatest(min(sdf), {SHINGLE_DF_CAP_MIN}) AS cap FROM (
       SELECT sdf, cume_dist() OVER (ORDER BY sdf) AS cd FROM dfs)
     WHERE cd >= {quantile}),
   kept AS (
@@ -259,11 +262,11 @@ ORDER BY cos_micro DESC, a_id, b_id
 LIMIT {n}"""
 
 
-def _lsh_cand_ctes(dim: int, tables: int, planes: int, max_band_size: int) -> str:
-    """Banded sign-LSH candidate CTEs — the SAME banding as
-    similarity.lsh_candidate_pairs (±1 plane literals from the pinned hash
-    spec, sequential-fold projections — bit-identical to the Spark fold)
-    with the same band-size guard.  Expects an ``en`` CTE in scope."""
+def _lsh_banded_sql(dim: int, tables: int, planes: int) -> str:
+    """Per-table sign-LSH bucket rows for every vector in ``en`` — ±1
+    plane literals from the pinned hash spec, sequential-fold projections
+    (bit-identical to the Spark JVM fold AND the engine's numpy fold
+    kernel, functions/npfold.py)."""
     from .operators.similarity import _plane_signs
 
     def bucket_expr(t: int) -> str:
@@ -276,13 +279,19 @@ def _lsh_cand_ctes(dim: int, tables: int, planes: int, max_band_size: int) -> st
             terms.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
         return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
-    banded = "\n    UNION ALL\n    ".join(
+    return "\n    UNION ALL\n    ".join(
         f"SELECT vec_id, {t} AS table_id, {bucket_expr(t)} AS bucket FROM en"
         for t in range(tables)
     )
+
+
+def _lsh_cand_ctes(dim: int, tables: int, planes: int, max_band_size: int) -> str:
+    """Banded sign-LSH candidate CTEs — the SAME banding as
+    similarity.lsh_candidate_pairs with the same band-size guard.
+    Expects an ``en`` CTE in scope."""
     return f"""
   banded AS (
-    {banded}),
+    {_lsh_banded_sql(dim, tables, planes)}),
   kept AS (
     SELECT * FROM (
       SELECT vec_id, table_id, bucket,
@@ -336,6 +345,117 @@ SELECT * FROM (
   JOIN en a ON a.vec_id = cand.a_id
   JOIN en b ON b.vec_id = cand.b_id)
 WHERE cos_micro >= {int(round(threshold * 1e6))}"""
+
+
+def lsh_index_topk_sql(
+    query_ids: list[int],
+    k: int,
+    dim: int,
+    tables: int,
+    planes: int,
+    radius: int = 1,
+    emb_sql: str = EMB_SQL,
+) -> str:
+    """Mirror of the PERSISTED multi-probe LSH index query
+    (operators/ann_index.LshIndex.topk over a build_lsh_index layout):
+    per-table query buckets through the same plane fold, expanded to all
+    buckets within Hamming ``radius`` via inlined XOR masks
+    (ann_index._probe_masks), candidates DISTINCT per (query, vec), exact
+    cosine rerank, rank = (cos_micro DESC, vec_id ASC).
+
+    The build writes every row (no band guard — unlike the pair-mining
+    banding), so ``banded`` is used unguarded here."""
+    from .operators.ann_index import _probe_masks
+
+    masks = ", ".join(str(m) for m in _probe_masks(planes, radius))
+    qs = ", ".join(str(q) for q in query_ids)
+    cos = f"{_dot('q.embedding', 'e.embedding')} / (q.nrm * e.nrm)"
+    return f"""
+WITH {_emb_ctes(emb_sql)},
+  banded AS (
+    {_lsh_banded_sql(dim, tables, planes)}),
+  qb AS (
+    SELECT vec_id AS query_id, table_id, bucket
+    FROM banded WHERE vec_id IN ({qs})),
+  probes AS (
+    SELECT DISTINCT query_id, table_id, xor(bucket, CAST(m.mask AS BIGINT)) AS bucket
+    FROM qb CROSS JOIN (SELECT unnest([{masks}]) AS mask) m),
+  cand AS (
+    SELECT DISTINCT p.query_id, b.vec_id
+    FROM probes p
+    JOIN banded b ON b.table_id = p.table_id AND b.bucket = p.bucket),
+  scored AS (
+    SELECT c.query_id, c.vec_id,
+           CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_micro
+    FROM cand c
+    JOIN en q ON q.vec_id = c.query_id
+    JOIN en e ON e.vec_id = c.vec_id),
+  ranked AS (
+    SELECT query_id, vec_id, cos_micro,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_micro DESC, vec_id) AS INT) AS rank
+    FROM scored)
+SELECT query_id, vec_id, rank, cos_micro FROM ranked WHERE rank <= {k}"""
+
+
+def ivf_topk_sql(
+    query_ids: list[int],
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int,
+    emb_sql: str = EMB_SQL,
+) -> str:
+    """Mirror of the persisted IVF index query (operators/ivf_index
+    .IvfIndex.topk): ``centroids`` is the PINNED centroid matrix — a pure,
+    reproducible function of the corpus (hash-strided sample + fixed-round
+    numpy k-means, ivf_index.centroids_py re-derives it without Spark) —
+    inlined as a VALUES table.  Cell assignment / probe ranking use raw
+    dot products (argmax is scale-invariant; the engine does the same,
+    fold order pinned), ties broken on centroid id; rerank is exact
+    cosine, rank = (cos_micro DESC, vec_id ASC)."""
+    rows = ",\n      ".join(
+        "(" + str(ci) + ", [" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[])"
+        for ci, c in enumerate(centroids)
+    )
+    qs = ", ".join(str(q) for q in query_ids)
+    cos = f"{_dot('q.embedding', 'e.embedding')} / (q.nrm * e.nrm)"
+    return f"""
+WITH {_emb_ctes(emb_sql)},
+  cent AS (
+    SELECT * FROM (VALUES
+      {rows}) AS t(cid, cvec)),
+  assign AS (
+    SELECT vec_id, cid FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_dot('e.embedding', 'c.cvec')} DESC, c.cid) AS rn
+      FROM en e CROSS JOIN cent c)
+    WHERE rn = 1),
+  qprobe AS (
+    SELECT query_id, cid FROM (
+      SELECT q.vec_id AS query_id, c.cid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_dot('q.embedding', 'c.cvec')} DESC, c.cid) AS rn
+      FROM en q CROSS JOIN cent c
+      WHERE q.vec_id IN ({qs}))
+    WHERE rn <= {nprobe}),
+  cand AS (
+    SELECT DISTINCT p.query_id, a.vec_id
+    FROM qprobe p JOIN assign a ON a.cid = p.cid),
+  scored AS (
+    SELECT c.query_id, c.vec_id,
+           CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_micro
+    FROM cand c
+    JOIN en q ON q.vec_id = c.query_id
+    JOIN en e ON e.vec_id = c.vec_id),
+  ranked AS (
+    SELECT query_id, vec_id, cos_micro,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_micro DESC, vec_id) AS INT) AS rank
+    FROM scored)
+SELECT query_id, vec_id, rank, cos_micro FROM ranked WHERE rank <= {k}"""
 
 
 # -- text stats -------------------------------------------------------------

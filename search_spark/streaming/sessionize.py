@@ -78,10 +78,16 @@ def _session_update(
             continue
         n += len(pdf)
         tot += int(tokenize_pandas(pdf["text"]).map(len).sum())
-        us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-        lo, hi = int(us.min()), int(us.max())
-        first_us = lo if first_us is None else min(first_us, lo)
-        last_us = hi if last_us is None else max(last_us, hi)
+        # NULL ts rows still count toward n_turns/total_tokens but are
+        # skipped for first/last (NaT.astype(int64) is int64-min, which
+        # would collapse first_ts to 1677) — the batch twin's F.min/F.max
+        # skip NULLs the same way
+        ts = pd.to_datetime(pdf["ts"]).dropna()
+        if len(ts):
+            us = ts.astype("int64") // 1000
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
     state.update((n, tot, first_us, last_us))
     yield pd.DataFrame(
         {

@@ -30,6 +30,54 @@ def test_iceberg_probe_and_fallback(spark):
     assert "spark.sql.extensions" in conf
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_ICEBERG_JAR"),
+    reason="set SPARK_GRAFT_ICEBERG_JAR=/path/to/iceberg-spark-runtime.jar "
+    "to exercise the real catalog write path (no jar in the sandbox)",
+)
+def test_iceberg_writeTo_roundtrip(tmp_path):
+    """Exercises IcebergIndexCatalog's REAL write path (create →
+    overwritePartitions → append → snapshots) on a local Hadoop catalog.
+    Skipped in the sandbox; a cluster (or any host with the runtime jar)
+    validates the adapter without code changes."""
+    from pyspark.sql import SparkSession
+
+    from search_spark.sources.iceberg import (
+        CATALOG,
+        IcebergIndexCatalog,
+        iceberg_available,
+        session_builder_conf,
+    )
+
+    b = (
+        SparkSession.builder.master("local[2]")
+        .appName("iceberg-writeTo")
+        .config("spark.jars", os.environ["SPARK_GRAFT_ICEBERG_JAR"])
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in session_builder_conf(str(tmp_path / "wh")).items():
+        b = b.config(k, v)
+    s = b.getOrCreate()
+    try:
+        assert iceberg_available(s)
+        cat = IcebergIndexCatalog(s)
+        df = s.createDataFrame(
+            [(0, 0, "the", 2), (1, 1, "fast", 1)],
+            "doc_id long, term_bucket int, term string, unit int",
+        )
+        cat.write("postings", df)                      # create, partitioned
+        assert cat.read("postings").count() == 2
+        cat.write("postings", df.filter("unit = 0"))   # overwritePartitions
+        assert cat.read("postings").count() == 2
+        cat.write("dictionary", df.select("term"), overwrite_partitions=False)
+        cat.write("dictionary", df.select("term"), overwrite_partitions=False)
+        assert cat.read("dictionary").count() == 4     # append path
+        assert cat.snapshots("postings").count() >= 2  # real lineage
+        assert s.catalog.tableExists(f"{CATALOG}.search.postings")
+    finally:
+        s.stop()
+
+
 def test_package_pyfiles(tmp_path):
     out = tmp_path / "search_spark.zip"
     res = subprocess.run(

@@ -229,9 +229,14 @@ def test_dedup_band_guard_survives_identical_flood(spark):
 
 def test_auto_shingle_df_cap_matches_sql_rule(spark, ddb):
     """The Spark histogram walk and the DuckDB cume_dist rule must derive
-    the SAME cap — that equality is what keeps the capped entry green."""
+    the SAME cap (floor included) — that equality is what keeps the capped
+    entry green."""
     from search_spark.analyzer import sql_tokens
-    from search_spark.operators.dedup import auto_shingle_df_cap, doc_shingles
+    from search_spark.operators.dedup import (
+        SHINGLE_DF_CAP_MIN,
+        auto_shingle_df_cap,
+        doc_shingles,
+    )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     cap = auto_shingle_df_cap(doc_shingles(docs))
@@ -243,10 +248,39 @@ WITH sh AS (
     i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))) AS shingle
   FROM documents),
 dfs AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle)
-SELECT min(sdf) FROM (SELECT sdf, cume_dist() OVER (ORDER BY sdf) cd FROM dfs)
+SELECT greatest(min(sdf), {SHINGLE_DF_CAP_MIN})
+FROM (SELECT sdf, cume_dist() OVER (ORDER BY sdf) cd FROM dfs)
 WHERE cd >= 0.995"""
     assert cap == ddb.execute(sql).fetchone()[0]
-    assert cap >= 1
+    assert cap >= SHINGLE_DF_CAP_MIN
+
+
+def test_auto_cap_floor_keeps_neardups_on_unique_corpus(spark):
+    """On a MOSTLY-UNIQUE corpus (>=99.5% of distinct shingles at df=1 —
+    the norm for w-gram shingles over natural text) the raw quantile cap
+    degenerates to 1, which would exclude every repeated shingle and the
+    DEFAULT capped operator would silently find ZERO pairs.  The floor
+    must keep a known df=2 near-dup pair alive."""
+    from search_spark.operators.dedup import (
+        SHINGLE_DF_CAP_MIN,
+        auto_shingle_df_cap,
+        doc_shingles,
+        ngram_jaccard_pairs,
+    )
+
+    # 400 unique docs (distinct token streams, shingles all df=1) + one
+    # near-dup pair sharing most of their shingles (those shingles: df=2)
+    rows = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f") for i in range(400)]
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows.append((9001, dup))
+    rows.append((9002, dup + " iota"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cap = auto_shingle_df_cap(doc_shingles(docs))
+    assert cap == SHINGLE_DF_CAP_MIN  # raw quantile degenerates to 1 here
+
+    pairs = ngram_jaccard_pairs(docs).collect()  # DEFAULT auto cap
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(9001, 9002)}
 
 
 def test_band_size_guard_bounds_duplicate_floods(spark):
@@ -329,3 +363,80 @@ def test_simhash_near_dups_rank_below_background(spark, ddb):
     sh_pairs = {(r["a_id"], r["b_id"]) for r in simhash_pairs(docs).collect()}
     hit = len(true_pairs & sh_pairs) / max(len(true_pairs), 1)
     assert hit >= 0.8, hit  # candidate generator: high recall on true dups
+
+
+def test_capped_ngram_broadcasts_head_not_tail(spark):
+    """Scale guard: the capped path must broadcast the tiny OVER-cap head
+    set into a LEFT ANTI join — broadcasting the under-cap side (~all
+    distinct shingles) would OOM executors at corpus scale."""
+    from search_spark.operators.dedup import doc_shingles, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, max_shingle_df=4)
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    # semantics unchanged vs the plain inner-join-on-under-cap form
+    sh = doc_shingles(docs)
+    from pyspark.sql import functions as F
+
+    dfs = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    kept_inner = sh.join(dfs.filter(F.col("sdf") <= 4).select("shingle"), "shingle")
+    kept_anti = sh.join(
+        dfs.filter(F.col("sdf") > 4).select("shingle"), "shingle", "left_anti"
+    )
+    assert sorted(map(tuple, kept_inner.collect())) == sorted(map(tuple, kept_anti.collect()))
+
+
+def test_npfold_matches_jvm_fold_bitwise(spark):
+    """The numpy sequential-fold kernels must equal the JVM fold
+    (F.aggregate over F.zip_with) BIT-FOR-BIT — that identity is what lets
+    the persisted ANN indexes carry exact DuckDB oracles (the reference
+    pins kernel-vs-scalar agreement the same way, simd_test.go:52-74)."""
+    import numpy as np
+
+    from search_spark.functions.npfold import fold_dot, fold_norm
+    from search_spark.operators.similarity import dot_col, norm_col
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((50, 64)).astype(np.float32)
+    B = rng.standard_normal((1, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, a.tolist(), B[0].tolist()) for i, a in enumerate(A)],
+        "i int, a array<float>, b array<float>",
+    )
+    rows = df.select(
+        "i", dot_col(F.col("a"), F.col("b")).alias("d"), norm_col(F.col("a")).alias("n")
+    ).collect()
+    want_d = fold_dot(A.astype(np.float64), B.astype(np.float64))[:, 0]
+    want_n = fold_norm(A.astype(np.float64))
+    for r in rows:
+        assert r["d"] == want_d[r["i"]], (r["d"], want_d[r["i"]])
+        assert r["n"] == want_n[r["i"]]
+
+
+def test_ivf_centroids_py_twin_matches_build(spark, tmp_path):
+    """centroids_py (the oracle-side no-Spark twin) must reproduce the
+    centroid matrix build_ivf_index trains — the pinned-centroid IVF
+    oracle depends on this bit-identity."""
+    import json
+
+    import numpy as np
+
+    from search_spark.operators.ivf_index import build_ivf_index, centroids_py
+
+    sf = "/root/testdata/sf0.01"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    build_ivf_index(spark, emb, str(tmp_path / "ivf"))
+    with open(tmp_path / "ivf" / "_ivf_meta.json") as f:
+        stored = np.asarray(json.load(f)["centroids"], dtype=np.float64)
+
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    twin = centroids_py(rows)
+    assert stored.shape == twin.shape
+    assert np.array_equal(stored, twin)

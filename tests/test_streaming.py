@@ -286,3 +286,21 @@ def test_compaction_during_live_stream_conserves_everything(spark, tmp_path):
         ]
         want = [(d, round(s * 1e6)) for d, s in oracle.search(qtext, 10)]
         assert got == want, (qtext, got, want)
+
+
+def test_rehydrate_on_stream_only_store(spark, streamed_store):
+    """A stream-only store has NO batch docs dir: rehydrate must source
+    stream_docs/batch=* (it used to read only store.docs_path() and raise;
+    on hybrid stores streamed hits silently rehydrated to NULL text)."""
+    from search_spark.operators.wand import IndexReader
+
+    store, pdf = streamed_store
+    reader = IndexReader(spark, store)
+    res = reader.batch_search([("q", "the fast")], 5)
+    hyd = reader.rehydrate(res).collect()
+    assert len(hyd) == 5
+    ordered = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for r in hyd:
+        assert r["text"] is not None and r["conv_id"] is not None
+        src = ordered.iloc[r["doc_id"] - STREAM_DOC_BASE]
+        assert r["text"] == src["text"]  # per-turn text-equality invariant

@@ -41,6 +41,10 @@ def test_sessionize_converges_to_batch_summary(spark, tmp_path):
     pdf = generate_pandas(30)
     # one NULL-text turn: stream (fillna) and batch (coalesce) must agree
     pdf.loc[pdf.index[0], "text"] = None
+    # one NULL-ts turn: both sides must SKIP it for first/last_ts while
+    # still counting it in n_turns/total_tokens (a NaT naively cast to
+    # int64 is int64-min → a garbage 1677 timestamp)
+    pdf.loc[pdf.index[1], "ts"] = pd.NaT
     # split by turn parity → every conversation spans both files/batches
     a = pdf[pdf["turn_idx"] % 2 == 0]
     b = pdf[pdf["turn_idx"] % 2 == 1]
