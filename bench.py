@@ -192,9 +192,49 @@ def run_default(spark, sf_dir: str) -> dict:
         # underscore prefix: reported as a separate JSON field, NOT part of
         # the headline queries/value (keeps round-over-round comparability)
         out["_pipeline"] = run_pipeline_ops(spark, sf_dir)
+
+        # serving-layout phase: compact the multi-unit build (small-files
+        # listing overhead dominates the per-query tail — measured: 253
+        # files → 14 cuts q_long ~30% at sf0.1) and re-run the query set.
+        # Separate field, not in the headline queries, so round-over-round
+        # totals stay comparable.
+        from search_spark.operators.compact import compact_index
+
+        t0 = time.perf_counter()
+        compact_index(spark, reader.store)
+        compact_s = time.perf_counter() - t0
+        reader.refresh()
+        cqt, cresults, cbatch_s = query_phase(reader, dq)
+        clat = list(cqt.values())
+        out["_compacted"] = {
+            "compact_secs": round(compact_s, 4),
+            "q_p50_ms": round(_pctl(clat, 0.50) * 1e3, 1),
+            "q_p99_ms": round(_pctl(clat, 0.99) * 1e3, 1),
+            "q_long": round(cqt.get("q_long", 0.0), 4),
+            "batch_all": round(cbatch_s, 4),
+            "match_rate": oracle_match_rate(cresults, dq, sf_dir),
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return out
+
+
+def _prev_round_queries(sf) -> tuple[str | None, dict | None]:
+    """Latest checked-in BENCH_r*.json at the same sf — the per-query
+    regression baseline (VERDICT r2 #5: deltas must be visible in-run)."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")), reverse=True):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            p = d.get("parsed") or d
+            if p.get("sf") == sf and p.get("queries"):
+                return os.path.basename(path), p["queries"]
+        except Exception:
+            continue
+    return None, None
 
 
 def run_pipeline_ops(spark, sf_dir: str) -> dict:
@@ -259,24 +299,38 @@ def main_default() -> None:
         spark.stop()
     qtimes = {k: v for k, v in times.items() if not k.startswith("_")}
     total = round(sum(qtimes.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "wand_index_build_plus_batch_bm25_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_docs": times["_n_docs"],
-                "build_turns_per_sec": times["_build_tps"],
-                "q_p50_ms": times["_p50_ms"],
-                "q_p99_ms": times["_p99_ms"],
-                "match_rate": times["_match_rate"],
-                "pipeline_secs": times["_pipeline"],
-                "cpus": int(CPUS),
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    payload = {
+        "metric": "wand_index_build_plus_batch_bm25_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_val,
+        "n_docs": times["_n_docs"],
+        "build_turns_per_sec": times["_build_tps"],
+        "q_p50_ms": times["_p50_ms"],
+        "q_p99_ms": times["_p99_ms"],
+        "match_rate": times["_match_rate"],
+        "pipeline_secs": times["_pipeline"],
+        "compacted": times["_compacted"],
+        "cpus": int(CPUS),
+    }
+    prev_name, prev_q = _prev_round_queries(sf_val)
+    if prev_q:
+        deltas = {
+            k: round((v - prev_q[k]) / prev_q[k] * 100, 1)
+            for k, v in qtimes.items()
+            if k in prev_q and prev_q[k]
+        }
+        payload["prev_bench"] = prev_name
+        payload["query_delta_pct"] = deltas
+        worst = sorted(deltas.items(), key=lambda kv: -kv[1])[:5]
+        print(
+            f"[bench] per-query delta vs {prev_name} (+% = slower): "
+            + ", ".join(f"{k} {v:+.1f}%" for k, v in worst),
+            file=sys.stderr,
         )
-    )
+    print(json.dumps(payload))
 
 
 # ---------------------------------------------------------------------------
