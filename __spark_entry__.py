@@ -274,6 +274,17 @@ def _q_dedup_ngram_capped(spark, sf_dir):
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Pair mining → connected components → keeper verdict: the last step
+    of the dedup family (what a pipeline actually drops).  Pairs come from
+    the MinHash-LSH path; clustering is iterative min-label propagation
+    (operators/cluster.py), oracle = recursive reachability CTE."""
+    from search_spark.operators.cluster import keeper_assignment
+
+    docs = _docs(spark, sf_dir)
+    return keeper_assignment(docs, dd.minhash_lsh_pairs(docs))
+
+
 def _q_simhash_fps(spark, sf_dir):
     return dd.simhash_fingerprints(_docs(spark, sf_dir))
 
@@ -598,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
         "dedup_simhash_fingerprints": _q_simhash_fps,
         "dedup_simhash_pairs": _q_simhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_brute,
         "embedding_top_pairs": _q_cos_pairs,
         "embedding_top_pairs_brute": _q_cos_pairs_brute,
@@ -649,6 +661,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard_capped": osp.ngram_jaccard_capped_sql(),
         "dedup_simhash_fingerprints": osp.simhash_fingerprints_sql(),
         "dedup_simhash_pairs": osp.simhash_pairs_sql(),
+        "dedup_clusters": osp.keeper_assignment_sql(osp.minhash_lsh_sql()),
         "ann_cosine_topk": osp.ann_brute_sql(ANN_QUERY_IDS, ANN_K),
         "embedding_top_pairs": osp.lsh_top_pairs_sql(
             PAIR_TOP_N, EMB_DIM, PAIR_LSH_TABLES, PAIR_LSH_PLANES, PAIR_MAX_BAND

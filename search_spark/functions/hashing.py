@@ -114,3 +114,78 @@ def rolling_fp_py(tokens: list[str]) -> int:
     for t in tokens:
         acc = (acc * ROLL_B + h32_py(t) % P31) % P31
     return acc
+
+
+# -- Spark-compatible xxHash64 (pure Python twin) -----------------------------
+#
+# The postings AND dictionary layouts are partitioned by
+# term_bucket = pmod(xxhash64(term), B) (a JVM expression at write time,
+# operators/indexer.py).  The query side needs the same bucket DRIVER-SIDE
+# before any Spark job runs, so dictionary lookups can carry partition
+# filters — that requires a bit-exact Python twin of Spark's XxHash64
+# (standard XXH64 over the UTF-8 bytes, seed 42).  Three-way agreement with
+# F.xxhash64 is pinned in tests over the corpus vocabulary plus adversarial
+# lengths/codepoints; IndexReader additionally asserts python-vs-stored
+# bucket equality on every dictionary row it fetches.
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx_round(acc: int, lane: int) -> int:
+    return (_rotl64((acc + lane * _XXP2) & _M64, 31) * _XXP1) & _M64
+
+
+def xxhash64_py(data: bytes | str, seed: int = 42) -> int:
+    """Spark-semantics xxhash64: SIGNED 64-bit XXH64 of the bytes (strings
+    hash their UTF-8 encoding), default seed 42 like F.xxhash64."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i <= n - 32:
+            v1 = _xx_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xx_round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xx_round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xx_round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xx_round(0, v)) * _XXP1 + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i <= n - 8:
+        h = (_rotl64(h ^ _xx_round(0, int.from_bytes(data[i:i + 8], "little")), 27) * _XXP1 + _XXP4) & _M64
+        i += 8
+    if i <= n - 4:
+        h = (_rotl64(h ^ ((int.from_bytes(data[i:i + 4], "little") * _XXP1) & _M64), 23) * _XXP2 + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl64(h ^ ((data[i] * _XXP5) & _M64), 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def term_bucket_py(term: str, buckets: int) -> int:
+    """Driver-side twin of the layout rule
+    ``F.pmod(F.xxhash64(term), buckets)`` (non-negative pmod semantics)."""
+    return ((xxhash64_py(term) % buckets) + buckets) % buckets

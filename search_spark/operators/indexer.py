@@ -339,7 +339,14 @@ def finalize(spark: SparkSession, store: IndexStore) -> dict:
                 F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int"),
             )
         )
-        dictionary.write.mode("overwrite").parquet(store.dictionary_path)
+        # partitioned by term_bucket: the per-query dictionary lookup prunes
+        # to the query's buckets (driver-side xxhash64 twin) instead of
+        # scanning the whole vocabulary — at 10^12-doc scale the dictionary
+        # is billions of terms and an unpartitioned lookup scan would
+        # dominate query latency
+        dictionary.write.mode("overwrite").partitionBy("term_bucket").parquet(
+            store.dictionary_path
+        )
 
     payload_bytes = (
         F.octet_length("doc_ids_delta") + F.octet_length("tfs") + F.octet_length("dls")

@@ -421,17 +421,38 @@ class IndexReader:
 
     def _dictionary_rows(self, terms: list[str]) -> dict[str, tuple[float, int]]:
         """term → (idf, term_bucket).  ONE Spark job for the batch's UNSEEN
-        terms only (the bucket is persisted in the dictionary at finalize,
-        so no per-term expression evals); terms repeat heavily across a
-        serving session's queries — Zipf again — so steady-state batches
-        often skip the lookup job entirely."""
+        terms only; terms repeat heavily across a serving session's
+        queries — Zipf again — so steady-state batches often skip the
+        lookup job entirely.
+
+        The lookup scan is PARTITION-PRUNED: the dictionary is laid out by
+        term_bucket (indexer.finalize) and the query's buckets are derived
+        driver-side with the spec-tested pure-Python xxhash64 twin — at
+        10^12-doc scale the dictionary is billions of terms, and this turns
+        the lookup from a vocabulary scan into ≤|terms| partition reads.
+        Stored-vs-derived bucket equality is asserted on every fetched row
+        (a hash-spec drift fails loudly instead of silently missing terms).
+        """
+        from ..functions.hashing import term_bucket_py
+
         missing = [t for t in terms if t not in self._term_cache]
         if missing:
+            py_buckets = {t: term_bucket_py(t, self.term_buckets) for t in missing}
             rows = (
-                self._dict_df.filter(F.col("term").isin(missing))
+                self._dict_df.filter(
+                    F.col("term_bucket").isin(sorted(set(py_buckets.values())))
+                    & F.col("term").isin(missing)
+                )
                 .select("term", "df", "term_bucket")
                 .collect()
             )
+            for r in rows:
+                if int(r["term_bucket"]) != py_buckets[r["term"]]:
+                    raise RuntimeError(
+                        f"term_bucket mismatch for {r['term']!r}: stored "
+                        f"{r['term_bucket']} != derived {py_buckets[r['term']]} "
+                        "— xxhash64_py no longer matches the layout hash"
+                    )
             # idf derived HERE in CPython from (N, df) rather than read from
             # the stored column: JVM Math.log is only 1-ulp-accurate while
             # the oracle uses correctly-rounded libm — deriving driver-side

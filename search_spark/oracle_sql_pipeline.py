@@ -161,6 +161,32 @@ WITH {_shingle_ctes(docs_sql)},
   {_jaccard_verify('cand', threshold)}"""
 
 
+def keeper_assignment_sql(pairs_sql: str, docs_sql: str = DOCS_SQL) -> str:
+    """Mirror of operators/cluster.keeper_assignment: connected components
+    over the pair graph via a RECURSIVE reachability CTE (cluster_id =
+    component min doc_id — the same pure function the iterative min-label
+    propagation converges to), then the full-corpus keeper verdict."""
+    return f"""
+WITH RECURSIVE
+  docs AS ({docs_sql}),
+  pairs AS (SELECT a_id, b_id FROM ({pairs_sql}) p),
+  edges AS (
+    SELECT a_id AS src, b_id AS dst FROM pairs
+    UNION
+    SELECT b_id, a_id FROM pairs),
+  reach AS (
+    SELECT src AS v, dst AS u FROM edges
+    UNION
+    SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u),
+  clusters AS (
+    SELECT v AS doc_id, least(v, min(u)) AS cluster_id
+    FROM reach GROUP BY v)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id <> coalesce(c.cluster_id, d.doc_id) AS is_dup
+FROM docs d LEFT JOIN clusters c ON c.doc_id = d.doc_id"""
+
+
 def _simhash_ctes(docs_sql: str = DOCS_SQL) -> str:
     toks = sql_tokens("text")
     h = h32_sql("term")

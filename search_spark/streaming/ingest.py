@@ -232,7 +232,8 @@ def _install_dictionary(store: IndexStore, dictionary, folded_after: list[int], 
 
     tmp = store.dictionary_path + ".tmp"
     aside = store.dictionary_path + ".old"
-    dictionary.write.mode("overwrite").parquet(tmp)
+    # same partitioned layout as the batch finalize (lookup pruning)
+    dictionary.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
     _write_fold_marker(tmp, folded_after, stats)
     shutil.rmtree(aside, ignore_errors=True)
     if os.path.exists(store.dictionary_path):

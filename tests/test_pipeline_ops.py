@@ -440,3 +440,77 @@ def test_ivf_centroids_py_twin_matches_build(spark, tmp_path):
     twin = centroids_py(rows)
     assert stored.shape == twin.shape
     assert np.array_equal(stored, twin)
+
+
+def test_xxhash64_py_matches_spark(spark):
+    """The layout hash twin: xxhash64_py must equal F.xxhash64 bit-for-bit
+    (the dictionary-lookup partition pruning rides on this)."""
+    from pyspark.sql import functions as F
+
+    from search_spark.functions.hashing import term_bucket_py, xxhash64_py
+
+    cases = (
+        ["", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+         "0123456789abcdef", "x" * 31, "y" * 32, "z" * 33, "w" * 100]
+        + ["héllo-∆ ünïcode 测试", "needle7", "conv-000123", " mixÿ"]
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").limit(50)
+    vocab = sorted({
+        t for r in docs.collect() for t in tokenize(r["text"] or "")
+    })
+    cases = [c for c in cases if c] + vocab + [""]
+    sdf = spark.createDataFrame([(c,) for c in cases], "s string")
+    rows = sdf.select(
+        "s",
+        F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(16)).cast("int").alias("b"),
+    ).collect()
+    for r in rows:
+        assert xxhash64_py(r["s"]) == r["h"], repr(r["s"])
+        assert term_bucket_py(r["s"], 16) == r["b"], repr(r["s"])
+
+
+def test_dup_clusters_transitive_and_keepers(spark):
+    """Chain a-b, b-c and an island d-e must yield two components with
+    min-id cluster ids; untouched docs are singleton keepers."""
+    from search_spark.operators.cluster import dup_clusters, keeper_assignment
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 9)], "a_id long, b_id long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame([(i,) for i in range(11)], "doc_id long")
+    ka = {r["doc_id"]: (r["cluster_id"], r["is_dup"]) for r in keeper_assignment(docs, pairs).collect()}
+    assert ka[1] == (1, False) and ka[2] == (1, True) and ka[3] == (1, True)
+    assert ka[7] == (7, False) and ka[9] == (7, True)
+    assert ka[0] == (0, False) and ka[10] == (10, False)  # singletons
+
+
+def test_dictionary_lookup_partition_pruned(spark, tmp_path):
+    """The per-query dictionary lookup must carry PartitionFilters on
+    term_bucket (vocabulary-scan lookups won't survive a big dictionary)."""
+    from pyspark.sql import functions as F
+
+    from search_spark.functions.hashing import term_bucket_py
+    from search_spark.operators.indexer import build_index
+    from search_spark.operators.wand import IndexReader
+    from search_spark.sources.index_store import IndexStore
+    from search_spark.corpus import transcripts_from_documents
+
+    store = IndexStore(str(tmp_path / "idx"), doc_bucket_size=256, term_buckets=8)
+    tr = transcripts_from_documents(spark, SF)
+    build_index(spark, tr, store, n_units=2)
+    reader = IndexReader(spark, store)
+    terms = ["the", "fast", "scan"]
+    buckets = sorted({term_bucket_py(t, 8) for t in terms})
+    lookup = reader._dict_df.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    plan = lookup._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "term_bucket" in plan.split("PartitionFilters")[1][:200]
+    # and the full lookup path agrees with the stored buckets (the runtime
+    # invariant raises on mismatch)
+    rows = reader._dictionary_rows(terms)
+    assert set(rows) == set(terms)
