@@ -55,6 +55,8 @@ def __getattr__(name):
         "build_ivf_index": ("search_spark.operators.ivf_index", "build_ivf_index"),
         "IvfIndex": ("search_spark.operators.ivf_index", "IvfIndex"),
         "load_queryset": ("search_spark.sources.queryset", "load_queryset"),
+        "dup_clusters": ("search_spark.operators.cluster", "dup_clusters"),
+        "keeper_assignment": ("search_spark.operators.cluster", "keeper_assignment"),
         "sessionize_stream": ("search_spark.streaming.sessionize", "sessionize_stream"),
         "conversation_summary": ("search_spark.streaming.sessionize", "conversation_summary"),
     }

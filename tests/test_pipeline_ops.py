@@ -488,6 +488,84 @@ def test_dup_clusters_transitive_and_keepers(spark):
     assert ka[0] == (0, False) and ka[10] == (10, False)  # singletons
 
 
+def test_dup_clusters_twophase_vs_propagation_vs_unionfind(spark):
+    """Cross-algorithm equivalence on seeded random graphs: the two-phase
+    large-star/small-star default, the min-label-propagation twin, and a
+    pure-Python union-find must produce identical labelings (the same
+    doctrine as the npfold/JVM-fold and SIMD/scalar kernel twins)."""
+    import random
+
+    from search_spark.operators.cluster import dup_clusters, dup_clusters_propagation
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 80))
+        ]
+        # union-find ground truth (component min as label)
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for a, b in edges:
+            touched.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in sorted(touched)}
+
+        pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+        got_star = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+        got_prop = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters_propagation(pairs).collect()
+        }
+        assert got_star == want, f"trial {trial}: two-phase != union-find"
+        assert got_prop == want, f"trial {trial}: propagation != union-find"
+
+
+def test_dup_clusters_chain_beyond_propagation_budget(spark):
+    """A 120-node dup chain (diameter 119 — the boilerplate-page-edited-
+    per-snapshot shape): min-label propagation capped at 8 rounds must
+    raise, while the two-phase default converges in O(log n) rounds (a
+    15-round cap, ~log2(119)+detection — vs 119 rounds for propagation)
+    and labels the whole chain with its minimum."""
+    import pytest as _pytest
+
+    from search_spark.operators.cluster import dup_clusters, dup_clusters_propagation
+
+    chain = [(i, i + 1) for i in range(119)]
+    pairs = spark.createDataFrame(chain, "a_id long, b_id long")
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters_propagation(pairs, max_iters=8)
+
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs, max_iters=15).collect()}
+    assert got == {i: 0 for i in range(120)}
+
+
+def test_dup_clusters_degenerate_inputs(spark):
+    """Self-pairs label themselves; an empty pair list yields an empty
+    labeling with the right schema."""
+    from search_spark.operators.cluster import dup_clusters
+
+    selfp = spark.createDataFrame([(5, 5), (3, 3)], "a_id long, b_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(selfp).collect()}
+    assert got == {5: 5, 3: 3}
+
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    out = dup_clusters(empty)
+    assert out.columns == ["doc_id", "cluster_id"]
+    assert out.count() == 0
+
+
 def test_dictionary_lookup_partition_pruned(spark, tmp_path):
     """The per-query dictionary lookup must carry PartitionFilters on
     term_bucket (vocabulary-scan lookups won't survive a big dictionary)."""
