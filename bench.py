@@ -462,7 +462,8 @@ def main_scaling() -> None:
         # come from different reps (stated in BENCH.md).
         best_build: dict[int, dict] = {}
         best_query: dict[int, dict] = {}
-        for rep in range(2):
+        n_reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+        for rep in range(n_reps):
             for c in SCALE_LEVELS:
                 r = _run_level_subprocess(c, corpus_path)
                 bb = best_build.get(c)
