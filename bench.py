@@ -356,25 +356,32 @@ def run_level(cpus: int, corpus_path: str) -> dict:
     try:
         _mark(f"level {cpus}: build start")
         tr = spark.read.parquet(corpus_path)
+        s0 = cpu_steal_sample()
         reader, n_docs, build_s = build_wand_index(spark, tr, workdir, n_units=8, unit_parallelism=8)
-        _mark(f"level {cpus}: build done {n_docs} docs in {build_s:.1f}s; query start")
+        build_steal = steal_frac(s0, cpu_steal_sample())
+        _mark(f"level {cpus}: build done {n_docs} docs in {build_s:.1f}s "
+              f"(steal {build_steal:.1%}); query start")
         # batch-query phase: all queries in one job, repeated (untimed warmup
         # first — JVM codegen + Python worker spin-up is session, not query, cost)
         reader.batch_search([("warmup", "the w0001")], TOPK).count()
         _mark(f"level {cpus}: warmup done")
+        s1 = cpu_steal_sample()
         t0 = time.perf_counter()
         for rep in range(QUERY_REPS):
             reader.batch_search(list(SYN_QUERIES.items()), TOPK).count()
             _mark(f"level {cpus}: query rep {rep} done")
         query_s = time.perf_counter() - t0
+        query_steal = steal_frac(s1, cpu_steal_sample())
         nq = QUERY_REPS * len(SYN_QUERIES)
         return {
             "cpus": cpus,
             "n_docs": n_docs,
             "build_secs": round(build_s, 2),
             "build_turns_per_sec": round(n_docs / build_s, 1),
+            "build_steal": build_steal,
             "query_secs": round(query_s, 2),
             "queries_per_sec": round(nq / query_s, 2),
+            "query_steal": query_steal,
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -413,23 +420,67 @@ def _calib_burn(n: int) -> int:
     return x
 
 
+def _calib_memburn(n: int) -> int:
+    """Memory-bandwidth-bound kernel (hash/count over an 8M-int array) —
+    the resource profile of the engine's Arrow/numpy build stages."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 1000, 8_000_000).astype(np.int64)
+    s = 0
+    for _ in range(n):
+        _, c = np.unique(a, return_counts=True)
+        s += int(c.sum())
+    return s
+
+
+def cpu_steal_sample() -> tuple[int, int]:
+    """(total jiffies, steal jiffies) from /proc/stat — hypervisor noise
+    meter.  The sandbox VM shows 0-30% steal minute to minute; recording
+    it per phase separates engine behavior from co-tenant load."""
+    try:
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:]))
+        return sum(vals), vals[7]
+    except (OSError, IndexError, ValueError):
+        return 0, 0
+
+
+def steal_frac(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[0] - before[0]
+    return round((after[1] - before[1]) / dt, 3) if dt else 0.0
+
+
 def _cpu_calibration(levels=SCALE_LEVELS, reps=2) -> dict:
-    """Pure-Python compute throughput at each parallelism level — the
-    MACHINE's own scaling ceiling.  This sandbox VM shows CPU steal and
-    run-to-run allocation variance; reporting the ceiling alongside the
-    engine's numbers separates engine scaling from host noise."""
+    """Host scaling ceilings at each parallelism level, for TWO resource
+    profiles: ALU-bound pure-Python (``mops``) and memory-bandwidth-bound
+    numpy (``memops``).  The engine's Arrow/numpy stages follow the
+    memory-bound profile — on this single-bus VM that ceiling peaks
+    around 8-16 workers and can DEGRADE at 32 (measured 34.4 → 31.8
+    ops/s), so judging 8→32 engine efficiency against the ALU ceiling
+    alone would misattribute a hardware property to the engine.  The
+    sandbox VM also shows CPU steal; each measurement records it."""
     import multiprocessing as mp
 
     n = 20_000_000
-    best = {}
+    best: dict = {"mops": {}, "memops": {}, "steal": {}}
     for _ in range(reps):
         for procs in levels:
+            s0 = cpu_steal_sample()
             with mp.Pool(procs) as p:
                 t0 = time.perf_counter()
                 p.map(_calib_burn, [n] * procs)
                 wall = time.perf_counter() - t0
+                t1 = time.perf_counter()
+                p.map(_calib_memburn, [3] * procs)
+                mwall = time.perf_counter() - t1
+            st = steal_frac(s0, cpu_steal_sample())
             mops = procs * n / wall / 1e6
-            best[procs] = max(best.get(procs, 0.0), mops)
+            memops = procs * 3 / mwall
+            if mops > best["mops"].get(procs, 0.0):
+                best["mops"][procs] = round(mops, 1)
+                best["steal"][procs] = st
+            best["memops"][procs] = max(best["memops"].get(procs, 0.0), round(memops, 2))
     return best
 
 
@@ -449,10 +500,13 @@ def main_scaling() -> None:
         finally:
             gen.stop()
 
-        _mark("calibrating host CPU scaling ceiling")
+        _mark("calibrating host CPU scaling ceilings (ALU + memory-bound)")
         calib = _cpu_calibration()
         ratio_c = SCALE_LEVELS[-1] / SCALE_LEVELS[0]
-        ceiling = (calib[SCALE_LEVELS[-1]] / calib[SCALE_LEVELS[0]]) / ratio_c
+        ceiling = (calib["mops"][SCALE_LEVELS[-1]] / calib["mops"][SCALE_LEVELS[0]]) / ratio_c
+        mem_ceiling = (
+            calib["memops"][SCALE_LEVELS[-1]] / calib["memops"][SCALE_LEVELS[0]]
+        ) / ratio_c
 
         # interleaved repetitions, best per level PER PHASE: the sandbox
         # VM's CPU allocation varies minute to minute (steal), so single
@@ -480,8 +534,10 @@ def main_scaling() -> None:
                 "n_docs": best_build[c]["n_docs"],
                 "build_secs": best_build[c]["build_secs"],
                 "build_turns_per_sec": best_build[c]["build_turns_per_sec"],
+                "build_steal": best_build[c].get("build_steal"),
                 "query_secs": best_query[c]["query_secs"],
                 "queries_per_sec": best_query[c]["queries_per_sec"],
+                "query_steal": best_query[c].get("query_steal"),
             }
             for c in SCALE_LEVELS
         ]
@@ -498,9 +554,15 @@ def main_scaling() -> None:
             "efficiency_build": round(eff_build, 3),
             "efficiency_query": round(eff_query, 3),
             "host_ceiling_efficiency": round(ceiling, 3),
-            "host_calibration_mops": {str(k): round(v, 1) for k, v in calib.items()},
+            "host_memory_ceiling_efficiency": round(mem_ceiling, 3),
+            "host_calibration_mops": {str(k): v for k, v in calib["mops"].items()},
+            "host_calibration_memops": {str(k): v for k, v in calib["memops"].items()},
+            "host_calibration_steal": {str(k): v for k, v in calib["steal"].items()},
             "efficiency_build_vs_ceiling": round(eff_build / ceiling, 3),
             "efficiency_query_vs_ceiling": round(eff_query / ceiling, 3),
+            # the build's Arrow/numpy stages are memory-bound: their honest
+            # host ceiling is the memory one (PLANS.md §3)
+            "efficiency_build_vs_memory_ceiling": round(eff_build / mem_ceiling, 3),
         }
         print(json.dumps(report))
         _write_scaling_artifact(report)

@@ -64,3 +64,47 @@ def tokenize_pandas(texts: pd.Series) -> pd.Series:
     the idiomatic Arrow-batch path for ``mapInPandas`` stages.
     """
     return texts.fillna("").str.lower().str.findall(TOKEN_RE_STR)
+
+
+#: split pattern equivalent to findall(TOKEN_RE_STR): maximal runs of
+#: non-token characters ARE the delimiters, so splitting on them yields
+#: exactly the findall runs (plus empty strings at the text boundaries,
+#: which tokenize_arrow filters out).
+SPLIT_RE_STR = "[^a-z0-9]+"
+
+
+def tokenize_arrow(texts):
+    """Arrow-native tokenizer: StringArray -> (flat tokens, parent indices).
+
+    Returns ``(tokens, doc_idx)`` where ``tokens`` is a flat
+    ``pyarrow.StringArray`` of every token and ``doc_idx`` an Int32/64Array
+    mapping each token back to its row in ``texts``.  The whole pipeline
+    (lower → regex split → flatten → filter) runs in Arrow C++ over
+    contiguous buffers — no Python string objects are ever materialized,
+    which matters because the tf stage is memory-bandwidth-bound (the
+    pandas object path spends most of its cycles on PyObject pointer
+    chasing and refcounting).  Spec-equivalent to :func:`tokenize` /
+    :func:`tokenize_pandas` (tests/test_analyzer.py pins all three).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(texts, type=pa.string())
+    # NOT utf8_lower: Arrow's unicode lowercase uses SIMPLE case mapping
+    # (İ → i) while Python/Java/DuckDB — the three engines the frozen spec
+    # already pins — use FULL mapping (İ → i + combining dot, so the spec
+    # tokenizes 'İstanbul' as ['i','stanbul']).  ascii_lower matches the
+    # other engines exactly on A-Z, and exhaustive enumeration over all of
+    # Unicode shows exactly TWO codepoints whose full lowercase lands in
+    # the ASCII token class: U+0130 (İ → 'i̇') and U+212A (KELVIN K →
+    # 'k').  Pre-expanding those two, then ascii_lower, reproduces the
+    # spec bit-for-bit (tests/test_analyzer.py::test_python_vs_arrow).
+    texts = pc.replace_substring(texts, "İ", "i̇")
+    texts = pc.replace_substring(texts, "K", "k")
+    low = pc.ascii_lower(pc.coalesce(texts, ""))
+    toks = pc.split_pattern_regex(low, SPLIT_RE_STR)
+    flat = pc.list_flatten(toks)
+    doc_idx = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    return flat.filter(mask), doc_idx.filter(mask)

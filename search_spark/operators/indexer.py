@@ -40,7 +40,7 @@ import time
 from collections.abc import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -106,6 +106,35 @@ def stage_docs(spark: SparkSession, transcripts: DataFrame, store: IndexStore, n
     return stats
 
 
+def _python_width(spark: SparkSession) -> int:
+    """Target concurrency for the build's PYTHON (Arrow) stages.
+
+    Defaults to the cluster parallelism — on a multi-executor cluster every
+    executor has its own memory bus and the Arrow stages scale with cores.
+    ``SPARK_GRAFT_PY_WIDTH`` overrides it for SINGLE-HOST local mode, where
+    the tokenize/factorize kernels are memory-bandwidth-bound and one
+    shared bus saturates well below the thread count (measured on the
+    sandbox VM: memory-bound numpy throughput peaks at 8-16 workers and
+    DEGRADES at 32 — 34.4 → 31.8 ops/s — while ALU-bound work scales to
+    2.7×; running 32 concurrent Arrow tasks burned 2.3× the CPU-seconds of
+    the 8-wide run for identical output).  This is a host-shape knob, not
+    a data-size knob: it caps concurrent Python tasks, never partition
+    sizing, so correctness and the 10^12-row plan shape are unchanged.
+    """
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_PY_WIDTH")
+    if env:
+        return max(2, int(env))
+    par = spark.sparkContext.defaultParallelism
+    if spark.sparkContext.master.startswith("local"):
+        # single shared memory bus: steal-free sweep on the sandbox's
+        # 32-core host found width 8-16 fastest (units phase 22.7s at 12
+        # vs 29.4s at 32, identical output); 12 is the midpoint default
+        return min(par, 12)
+    return par
+
+
 TF_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -152,6 +181,55 @@ def _tf_batches(batches):
                 "dl": lens[u_doc].astype("int32"),
                 "doc_bucket": pdf["doc_bucket"].to_numpy()[u_doc].astype("int32"),
             }
+        )
+
+
+def _tf_arrow(batches):
+    """mapInArrow tf computation — the build's hot stage (Arrow-native).
+
+    Same output as :func:`_tf_batches` (property-tested equal) but the
+    entire tokenize→count pipeline stays in Arrow C++ buffers:
+    ``tokenize_arrow`` (lower → regex split → flatten → filter) followed by
+    ``dictionary_encode`` for integer term codes, then the composite-key
+    ``np.unique`` trick to collapse (doc, term) pairs.  No pandas object
+    arrays, no Python string objects — the pandas path's PyObject churn
+    made the stage memory-bandwidth-bound (measured: 32 concurrent workers
+    burned 2.3× the CPU-seconds of 8-wide on a single host).  Overflow
+    note as in _tf_batches: doc_idx·|vocab| stays far below 2^63.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..analyzer import tokenize_arrow
+
+    for rb in batches:
+        n_rows = rb.num_rows
+        if not n_rows:
+            continue
+        flat, par = tokenize_arrow(rb.column(rb.schema.get_field_index("text")))
+        if not len(flat):
+            continue
+        enc = pc.dictionary_encode(flat)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = enc.dictionary
+        doc_idx = np.asarray(par, dtype=np.int64)
+        dl = np.bincount(doc_idx, minlength=n_rows).astype(np.int32)
+        key = doc_idx * len(vocab) + codes
+        uk, tf = np.unique(key, return_counts=True)
+        u_doc = uk // len(vocab)
+        u_code = uk % len(vocab)
+        doc_ids = np.asarray(rb.column(rb.schema.get_field_index("doc_id")), dtype=np.int64)
+        buckets = np.asarray(rb.column(rb.schema.get_field_index("doc_bucket")), dtype=np.int32)
+        yield pa.RecordBatch.from_arrays(
+            [
+                vocab.take(pa.array(u_code)),
+                pa.array(doc_ids[u_doc], type=pa.int64()),
+                pa.array(tf.astype(np.int32), type=pa.int32()),
+                pa.array(dl[u_doc], type=pa.int32()),
+                pa.array(buckets[u_doc], type=pa.int32()),
+            ],
+            names=["term", "doc_id", "tf", "dl", "doc_bucket"],
         )
 
 
@@ -274,11 +352,11 @@ def build_unit(
     # unit has plenty of files and this is a no-op.
     if tf_partitions and docs.rdd.getNumPartitions() < tf_partitions:
         docs = docs.repartition(tf_partitions)
-    tf_local = docs.mapInPandas(_tf_batches, schema=TF_SCHEMA)
+    tf_local = docs.mapInArrow(_tf_arrow, schema=TF_SCHEMA)
     # explicit partition count: AQE would coalesce this small-at-test-scale
     # exchange to one task and serialize the encode; at 10^12 scale the same
     # expression sizes the shuffle to the cluster
-    n_enc = max(2, spark.sparkContext.defaultParallelism // 2)
+    n_enc = max(2, _python_width(spark) // 2)
     encoded = (
         tf_local.repartition(n_enc, "term", "doc_bucket")
         .sortWithinPartitions("term", "doc_bucket", "doc_id")
@@ -287,7 +365,19 @@ def build_unit(
     encoded = encoded.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")
     )
-    encoded.write.mode("overwrite").partitionBy("term_bucket").parquet(store.postings_path(unit))
+    # consolidate ENCODED blocks by term_bucket before the write: without
+    # this, partitionBy splits every encode task's output across all term
+    # buckets, so the file count is n_enc × term_buckets PER UNIT — it
+    # grows with cluster parallelism (measured 2048 files at local[32] vs
+    # 512 at local[8] on the same corpus) and the listing/open overhead
+    # lands on every later read.  The blocks are delta+varint compressed —
+    # a fraction of the tf shuffle that produced them — so this extra
+    # exchange is cheap, and each term_bucket lands in exactly one task →
+    # ≤ term_buckets files per unit at ANY core count.  (Skew-safe: the
+    # doc_bucket salt already bounded per-term block volume upstream.)
+    encoded.repartition(store.term_buckets, "term_bucket").write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(store.postings_path(unit))
     # post-compaction stores track covered segments explicitly — a newly
     # built unit must register to be visible (no-op on legacy stores, and
     # registration precedes the done-mark so a crash between the two is
@@ -316,6 +406,7 @@ def finalize(spark: SparkSession, store: IndexStore) -> dict:
     double-folded later."""
     posts = spark.read.option("basePath", store.postings_path()).parquet(store.postings_path())
 
+    dict_obs: dict | None = None
     if store.checkpoints().get("stream_batches"):
         from ..streaming.ingest import finalize_stream
 
@@ -343,10 +434,18 @@ def finalize(spark: SparkSession, store: IndexStore) -> dict:
         # to the query's buckets (driver-side xxhash64 twin) instead of
         # scanning the whole vocabulary — at 10^12-doc scale the dictionary
         # is billions of terms and an unpartitioned lookup scan would
-        # dominate query latency
-        dictionary.write.mode("overwrite").partitionBy("term_bucket").parquet(
-            store.dictionary_path
+        # dominate query latency.  Consolidated to one task per bucket
+        # before the write (same file-count argument as build_unit's
+        # postings write), and vocab/total observed DURING the write job —
+        # the re-read job this replaces was pure fixed overhead.
+        obs = Observation("dict_stats")
+        dictionary = dictionary.observe(
+            obs, F.count(F.lit(1)).alias("vocab"), F.sum("df").alias("total")
         )
+        dictionary.repartition(store.term_buckets, "term_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("term_bucket").parquet(store.dictionary_path)
+        dict_obs = obs.get
 
     payload_bytes = (
         F.octet_length("doc_ids_delta") + F.octet_length("tfs") + F.octet_length("dls")
@@ -370,14 +469,20 @@ def finalize(spark: SparkSession, store: IndexStore) -> dict:
     metrics = metrics.withColumn("lineage", F.lit(lineage))
     metrics.write.mode("overwrite").parquet(store.metrics_path)
 
-    # vocab/total from the WRITTEN dictionary (tiny parquet) — re-deriving
-    # them from `dictionary`/`posts` would re-scan all postings twice more
-    dict_written = spark.read.parquet(store.dictionary_path)
-    row = dict_written.agg(
-        F.count("*").alias("vocab"), F.sum("df").alias("total")
-    ).collect()[0]
-    vocab = int(row["vocab"])
-    total_postings = int(row["total"] or 0)
+    if dict_obs is not None:
+        # observed during the dictionary write job — no extra scan at all
+        vocab = int(dict_obs["vocab"])
+        total_postings = int(dict_obs["total"] or 0)
+    else:
+        # hybrid/stream path wrote the dictionary inside finalize_stream:
+        # read the written dictionary back (tiny parquet — re-deriving from
+        # `posts` would re-scan all postings instead)
+        dict_written = spark.read.parquet(store.dictionary_path)
+        row = dict_written.agg(
+            F.count("*").alias("vocab"), F.sum("df").alias("total")
+        ).collect()[0]
+        vocab = int(row["vocab"])
+        total_postings = int(row["total"] or 0)
     stats.update({"vocab": vocab, "n_postings": total_postings})
     store.write_stats(stats)
     sid = store.commit_snapshot("finalize", {"vocab": vocab, "n_postings": total_postings})
@@ -415,8 +520,9 @@ def build_index(
     done = store.completed_units()
     pending = [u for u in range(n_units) if u not in done]
     # size per-unit tf parallelism so concurrent units together saturate the
-    # cluster even when each unit's input packs into few scan tasks
-    tf_parts = max(2, spark.sparkContext.defaultParallelism * 2 // max(1, unit_parallelism))
+    # PYTHON-stage width (cluster parallelism unless the single-host
+    # memory-bus cap applies — see _python_width)
+    tf_parts = max(2, _python_width(spark) * 2 // max(1, unit_parallelism))
     if fail_after_units is not None or unit_parallelism <= 1:
         built = 0
         for u in pending:

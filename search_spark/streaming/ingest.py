@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.docids import assign_doc_ids
-from ..operators.indexer import POSTING_SCHEMA, TF_SCHEMA, _encode_partition, _tf_batches
+from ..operators.indexer import POSTING_SCHEMA, TF_SCHEMA, _encode_partition, _tf_arrow
 from ..sources.index_store import IndexStore
 
 #: stream doc_ids start here — far above any batch corpus
@@ -106,8 +106,8 @@ def _ingest_one_batch_locked(
         store.mark_stream_batch(batch_id, 0)
         return
 
-    tf_local = staged.select("doc_id", "doc_bucket", "text").mapInPandas(
-        _tf_batches, schema=TF_SCHEMA
+    tf_local = staged.select("doc_id", "doc_bucket", "text").mapInArrow(
+        _tf_arrow, schema=TF_SCHEMA
     )
     n_enc = max(2, spark.sparkContext.defaultParallelism // 2)
     encoded = (

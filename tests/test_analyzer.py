@@ -42,3 +42,18 @@ def test_python_vs_spark(spark):
 def test_none_handling():
     assert tokenize(None) == []
     assert tokenize_pandas(pd.Series([None, "ab"])).tolist() == [[], ["ab"]]
+
+
+def test_python_vs_arrow():
+    """tokenize_arrow (flat tokens + parent indices) rebuilds the exact
+    per-doc token lists of the plain-Python spec, including None/empty."""
+    import pyarrow as pa
+
+    from search_spark.analyzer import tokenize_arrow
+
+    cases = CASES + [None, "!!!", "x", "İstanbul Straße ABC1", "300K kelvin K9"]
+    flat, par = tokenize_arrow(pa.array(cases, type=pa.string()))
+    rebuilt: list[list[str]] = [[] for _ in cases]
+    for tok, i in zip(flat.to_pylist(), par.to_pylist()):
+        rebuilt[i].append(tok)
+    assert rebuilt == [tokenize(c) for c in cases]

@@ -207,3 +207,34 @@ def test_wand_vs_dense_on_multiblock_layouts(term_specs, k):
     w, _ = wand_topk(by_term, qidf, avgdl, k)
     d = dense_topk(by_term, qidf, avgdl, k)
     assert w == d
+
+
+@given(st.lists(text_st, min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_tf_arrow_matches_tf_batches(texts):
+    """The Arrow-native tf stage (mapInArrow hot path) must produce exactly
+    the same (doc_id, term) -> (tf, dl, doc_bucket) map as the pandas twin
+    it replaced, for ANY text."""
+    import pyarrow as pa
+
+    from search_spark.operators.indexer import _tf_arrow, _tf_batches
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64) * 7 + 3,
+            "doc_bucket": (np.arange(len(texts)) % 4).astype("int32"),
+            "text": texts,
+        }
+    )
+    ref = {}
+    for out in _tf_batches(iter([pdf])):
+        for r in out.itertuples(index=False):
+            ref[(r.doc_id, r.term)] = (r.tf, r.dl, r.doc_bucket)
+    got = {}
+    for rb in _tf_arrow(iter([pa.RecordBatch.from_pandas(pdf)])):
+        t = rb.to_pydict()
+        for term, doc_id, tf, dl, db in zip(
+            t["term"], t["doc_id"], t["tf"], t["dl"], t["doc_bucket"]
+        ):
+            got[(doc_id, term)] = (tf, dl, db)
+    assert got == ref
