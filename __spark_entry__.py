@@ -303,6 +303,25 @@ def _q_ann_brute(spark, sf_dir):
     return sim.ann_brute_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, ANN_K)
 
 
+HYBRID_VEC_ID = 0  # vector probe (embeddings.vec_id ≡ documents.doc_id)
+HYBRID_KB = 20  # BM25 candidate depth
+HYBRID_KC = 20  # cosine candidate depth
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 ∪ cosine top-20 fused by RRF
+    (operators/hybrid.py).  The reference's core op is cosine search
+    (index.go:52-86); the engine adds BM25 — this entry runs BOTH and
+    rank-fuses, the standard production serving pattern."""
+    from search_spark.operators.hybrid import rrf_fuse_two
+
+    bm = _bm25_topk(spark, sf_dir, Q_MIX, k=HYBRID_KB).select("doc_id", "rank")
+    cs = sim.ann_brute_topk(_emb(spark, sf_dir), [HYBRID_VEC_ID], HYBRID_KC).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse_two(bm, cs, k=_TOPK)
+
+
 def _q_cos_pairs(spark, sf_dir):
     """Serving form: banded LSH candidates + exact cosine — no cartesian
     anywhere in the plan (the brute all-pairs form rides the
@@ -447,6 +466,14 @@ def _q_fingerprints(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", rolling_fp_col(tokens_col("text")).alias("fingerprint")
     )
+
+
+def _q_top_terms(spark, sf_dir):
+    """Per-doc keyword extraction: top-5 terms by tf·idf (operators/
+    keywords.py) — topic tagging / term pruning for a training pipeline."""
+    from search_spark.operators.keywords import top_terms
+
+    return top_terms(_docs(spark, sf_dir))
 
 
 NEAR_DUP_COS_T = 0.4  # corpus-specific: top pair cosines sit at 0.40-0.51
@@ -611,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_brute,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
         "embedding_top_pairs": _q_cos_pairs,
         "embedding_top_pairs_brute": _q_cos_pairs_brute,
         "ann_lsh_topk": _q_ann_lsh,
@@ -619,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_quality": _q_quality,
         "text_fingerprints": _q_fingerprints,
+        "text_top_terms": _q_top_terms,
         "dedup_embedding_cosine": _q_cos_near_dups,
         "media_metadata": _q_media_meta,
         "media_resize": _q_media_resize,
@@ -663,6 +692,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": osp.simhash_pairs_sql(),
         "dedup_clusters": osp.keeper_assignment_sql(osp.minhash_lsh_sql()),
         "ann_cosine_topk": osp.ann_brute_sql(ANN_QUERY_IDS, ANN_K),
+        "hybrid_rrf_topk": osp.hybrid_rrf_sql(
+            Q_MIX, HYBRID_VEC_ID, HYBRID_KB, HYBRID_KC, _TOPK
+        ),
         "embedding_top_pairs": osp.lsh_top_pairs_sql(
             PAIR_TOP_N, EMB_DIM, PAIR_LSH_TABLES, PAIR_LSH_PLANES, PAIR_MAX_BAND
         ),
@@ -671,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": osp.lang_id_sql_query(),
         "text_quality": osp.quality_sql_query(),
         "text_fingerprints": osp.fingerprints_sql(),
+        "text_top_terms": osp.top_terms_sql(5),
         "dedup_embedding_cosine": osp.lsh_near_dup_sql(
             NEAR_DUP_COS_T, EMB_DIM, PAIR_LSH_TABLES, PAIR_LSH_PLANES, PAIR_MAX_BAND
         ),

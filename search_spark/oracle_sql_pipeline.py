@@ -595,3 +595,67 @@ SELECT doc_id,
        fi AS frame_idx,
        {h32_sql(f"substring(text, fi * {FRAME_STEP} * 64 + 1, 64)")} AS frame_h32
 FROM frames"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (BM25 ∪ cosine, RRF fusion — operators/hybrid.py)
+# ---------------------------------------------------------------------------
+
+def hybrid_rrf_sql(
+    query_text: str,
+    query_vec_id: int,
+    kb: int,
+    kc: int,
+    k: int,
+    k0: int = 60,
+    emb_sql: str = EMB_SQL,
+) -> str:
+    """DuckDB mirror of ``rrf_fuse_two(bm25_topk, ann_brute_topk)``.
+
+    Same fixed-order double arithmetic as the engine: one reciprocal per
+    retriever added in a FULL OUTER JOIN row (never a float reduce over an
+    arbitrary-order list), micro-rounded, ties on doc_id ASC.
+    """
+    from .oracle_sql import bm25_topk_sql
+
+    bm = bm25_topk_sql(query_text, kb)
+    cs = ann_brute_sql([query_vec_id], kc, emb_sql=emb_sql)
+    return f"""
+WITH bm AS ({bm}),
+  cs AS ({cs}),
+  fused AS (
+    SELECT COALESCE(bm.doc_id, cs.vec_id) AS doc_id,
+           CAST(round(1e6 * (COALESCE(1.0 / ({k0} + bm.rank), 0)
+                           + COALESCE(1.0 / ({k0} + cs.rank), 0))) AS BIGINT)
+             AS rrf_micro
+    FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.vec_id),
+  ranked AS (
+    SELECT doc_id, rrf_micro,
+           CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+    FROM fused)
+SELECT doc_id, rank, rrf_micro FROM ranked WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Per-doc keyword extraction (operators/keywords.py)
+# ---------------------------------------------------------------------------
+
+def top_terms_sql(n: int, docs_sql: str = DOCS_SQL) -> str:
+    """DuckDB mirror of ``keywords.top_terms``: same analyzer CTEs and idf
+    expression as the BM25 oracle, tf·idf micro-rounded, ties on term ASC."""
+    from .functions.bm25 import sql_idf
+    from .oracle_sql import bm25_corpus_ctes
+
+    idf = sql_idf("stats.n_docs", "dft.df")
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  scored AS (
+    SELECT tf.doc_id, tf.term,
+           CAST(round(tf.tf * {idf} * 1e6) AS BIGINT) AS tfidf_micro
+    FROM tf JOIN dft USING (term) CROSS JOIN stats),
+  ranked AS (
+    SELECT doc_id, term, tfidf_micro,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf_micro DESC, term) AS INT) AS rank
+    FROM scored)
+SELECT doc_id, term, rank, tfidf_micro FROM ranked WHERE rank <= {n}"""

@@ -592,3 +592,28 @@ def test_dictionary_lookup_partition_pruned(spark, tmp_path):
     # invariant raises on mismatch)
     rows = reader._dictionary_rows(terms)
     assert set(rows) == set(terms)
+
+
+def test_rrf_fuse_two_semantics(spark):
+    """RRF fusion: both-lists docs sum reciprocals, single-list docs get
+    one term, ties break on doc_id ASC, k truncates."""
+    from search_spark.operators.hybrid import RRF_K0, rrf_fuse_two
+
+    bm = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    cs = spark.createDataFrame([(20, 1), (40, 2), (50, 3)], "doc_id long, rank int")
+    got = {
+        r["doc_id"]: (r["rank"], r["rrf_micro"])
+        for r in rrf_fuse_two(bm, cs, k=4).collect()
+    }
+    mk = lambda *rs: round(1e6 * sum(1.0 / (RRF_K0 + r) for r in rs))
+    # doc 20 in both lists -> top; then 10 (bm rank1) ties 40 (cs rank2)?
+    assert got[20] == (1, mk(2, 1))
+    assert got[10][1] == mk(1) and got[40][1] == mk(2)
+    # equal-micro docs order by doc_id ASC
+    pairs = sorted(got.items(), key=lambda kv: kv[1][0])
+    micros = [m for _, (_, m) in pairs]
+    assert micros == sorted(micros, reverse=True)
+    for (d1, (r1, m1)), (d2, (r2, m2)) in zip(pairs, pairs[1:]):
+        if m1 == m2:
+            assert d1 < d2
+    assert len(got) == 4  # k truncation
