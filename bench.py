@@ -162,16 +162,21 @@ def run_default(spark, sf_dir: str) -> dict:
     from search_spark.operators.build import build_df_index, search_topk_df
 
     out: dict = {}
+    steal: dict = {}
     workdir = tempfile.mkdtemp(prefix="bench_idx_")
     try:
         tr = transcripts_from_documents(spark, sf_dir)
+        s0 = cpu_steal_sample()
         reader, n_docs, build_s = build_wand_index(spark, tr, workdir)
+        steal["build"] = steal_frac(s0, cpu_steal_sample())
         out["build"] = round(build_s, 4)
         out["_n_docs"] = n_docs
         out["_build_tps"] = round(n_docs / build_s, 1)
 
         dq = doc_queries()
+        s0 = cpu_steal_sample()
         qt, results, batch_s = query_phase(reader, dq)
+        steal["query"] = steal_frac(s0, cpu_steal_sample())
         out.update({k: round(v, 4) for k, v in qt.items()})
         out["batch_all"] = round(batch_s, 4)
         lat = list(qt.values())
@@ -202,11 +207,13 @@ def run_default(spark, sf_dir: str) -> dict:
         # totals stay comparable.
         from search_spark.operators.compact import compact_index
 
+        s0 = cpu_steal_sample()
         t0 = time.perf_counter()
         compact_index(spark, reader.store)
         compact_s = time.perf_counter() - t0
         reader.refresh()
         cqt, cresults, cbatch_s = query_phase(reader, dq)
+        steal["compacted"] = steal_frac(s0, cpu_steal_sample())
         clat = list(cqt.values())
         out["_compacted"] = {
             "compact_secs": round(compact_s, 4),
@@ -216,6 +223,9 @@ def run_default(spark, sf_dir: str) -> dict:
             "batch_all": round(cbatch_s, 4),
             "match_rate": oracle_match_rate(cresults, dq, sf_dir),
         }
+        # hypervisor noise per phase: lets a reader of one checked-in run
+        # tell a slow engine from a stolen VM (0-30% observed minute-to-minute)
+        out["_steal"] = steal
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
     return out
@@ -315,6 +325,7 @@ def main_default() -> None:
         "match_rate": times["_match_rate"],
         "pipeline_secs": times["_pipeline"],
         "compacted": times["_compacted"],
+        "steal": times.get("_steal", {}),
         "cpus": int(CPUS),
     }
     prev_name, prev_q = _prev_round_queries(sf_val)

@@ -103,3 +103,64 @@ def test_npfold_kernels_equal_scalar_fold():
 
             wn[i] = math.sqrt(acc)  # IEEE sqrt == np.sqrt; x**0.5 (pow) can differ 1 ulp
         assert np.array_equal(gn, wn), (n, d)
+
+
+def test_encode_runs_identical_to_make_blocks():
+    """The whole-batch vectorized encoder must be BYTE-identical to the
+    per-run make_blocks assembly it replaced, over fuzzed multi-run
+    batches (tiny runs, block-boundary runs, multi-block runs)."""
+    import numpy as np
+
+    from search_spark import codec
+
+    rng = np.random.default_rng(23)
+    for trial in range(30):
+        n_runs = int(rng.integers(1, 40))
+        terms, buckets, doc_ids, tfs, dls = [], [], [], [], []
+        for r in range(n_runs):
+            ln = int(rng.choice([1, 2, 3, 127, 128, 129, 300, int(rng.integers(1, 500))]))
+            term = f"t{int(rng.integers(0, 8)):02d}"
+            bucket = int(rng.integers(0, 3))
+            d0 = int(rng.integers(0, 10_000))
+            gaps = rng.integers(1, 2000, ln)
+            ids = d0 + np.cumsum(gaps)
+            terms += [term] * ln
+            buckets += [bucket] * ln
+            doc_ids += ids.tolist()
+            tfs += rng.integers(1, 300, ln).tolist()
+            dls += rng.integers(1, 5000, ln).tolist()
+        # runs must be contiguous by (term, bucket): fuzz above may repeat a
+        # (term, bucket) in adjacent runs — merge-safe because make_blocks
+        # is applied per change-detected run either way; emulate exactly:
+        terms = np.asarray(terms, dtype=object)
+        buckets = np.asarray(buckets, dtype=np.int32)
+        d = np.asarray(doc_ids, dtype=np.int64)
+        t = np.asarray(tfs, dtype=np.int64)
+        dl = np.asarray(dls, dtype=np.int64)
+        avgdl = float(rng.uniform(5, 500))
+
+        got = codec.encode_runs(terms, buckets, d, t, dl, avgdl)
+
+        change = np.flatnonzero((terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(d)]))
+        want = []
+        for s, e in zip(starts, ends):
+            for blk in codec.make_blocks(d[s:e], t[s:e], dl[s:e], avgdl):
+                blk["term"] = terms[s]
+                blk["doc_bucket"] = int(buckets[s])
+                want.append(blk)
+        assert len(want) == len(got["term"]), trial
+        for i, blk in enumerate(want):
+            assert got["term"][i] == blk["term"]
+            assert int(got["doc_bucket"][i]) == blk["doc_bucket"]
+            assert int(got["first_doc"][i]) == blk["first_doc"]
+            assert int(got["last_doc"][i]) == blk["last_doc"]
+            assert int(got["n_docs"][i]) == blk["n_docs"]
+            assert got["doc_ids_delta"][i] == blk["doc_ids_delta"], (trial, i)
+            assert got["tfs"][i] == blk["tfs"], (trial, i)
+            assert got["dls"][i] == blk["dls"], (trial, i)
+            assert int(got["block_max_tf"][i]) == blk["block_max_tf"]
+            assert int(got["block_min_dl"][i]) == blk["block_min_dl"]
+            assert float(got["block_max_raw"][i]) == blk["block_max_raw"]
+            assert int(got["cf_block"][i]) == blk["cf_block"]
