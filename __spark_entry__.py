@@ -199,6 +199,45 @@ def _q_wand_queryset(spark, sf_dir):
     )
 
 
+#: gate phrase queries over the documents vocabulary (bigram df≈46 and
+#: trigram df≈7 at sf0.01 — one head-ish, one selective)
+Q_PHRASE = "table hash"
+Q_PHRASE_LONG = "part filter scan"
+
+
+def _phrase_topk(spark: SparkSession, sf_dir: str, phrase: str, k: int = _TOPK) -> DataFrame:
+    """Exact phrase search off the persisted index (operators/phrase.py):
+    conjunctive posting-intersection candidates → pruned-scan positional
+    verify → BM25 with the phrase as one pseudo-term."""
+    from search_spark.operators.phrase import phrase_search
+
+    reader = _wand_reader(spark, sf_dir)
+    res = phrase_search(reader, phrase, k)
+    micro = res.select(
+        "doc_id",
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+        F.col("ptf").cast("int").alias("ptf"),
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "rank", "score_micro", "ptf"
+    )
+
+
+def _q_phrase(spark, sf_dir):
+    return _phrase_topk(spark, sf_dir, Q_PHRASE)
+
+
+def _q_phrase_long(spark, sf_dir):
+    return _phrase_topk(spark, sf_dir, Q_PHRASE_LONG)
+
+
+def _q_phrase_count(spark, sf_dir):
+    from search_spark.operators.phrase import phrase_count
+
+    return phrase_count(_wand_reader(spark, sf_dir), Q_PHRASE)
+
+
 _COMPACT_CACHE: dict[str, object] = {}
 
 
@@ -630,6 +669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_batch": _q_wand_batch,
         "bm25_wand_queryset": _q_wand_queryset,
         "bm25_wand_compacted": _q_wand_compacted,
+        "phrase_topk": _q_phrase,
+        "phrase_topk_long": _q_phrase_long,
+        "phrase_count": _q_phrase_count,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -684,6 +726,9 @@ def oracle_sql() -> dict[str, str]:
             load_queryset_py(QUERYSET_PATH), _TOPK
         ),
         "bm25_wand_compacted": osql.bm25_topk_sql(Q_MIX, _TOPK),
+        "phrase_topk": osql.phrase_topk_sql(Q_PHRASE, _TOPK),
+        "phrase_topk_long": osql.phrase_topk_sql(Q_PHRASE_LONG, _TOPK),
+        "phrase_count": osql.phrase_count_sql(Q_PHRASE),
         "dedup_exact": osp.dedup_exact_sql(),
         "dedup_minhash_lsh": osp.minhash_lsh_sql(),
         "dedup_ngram_jaccard": osp.ngram_jaccard_sql(),

@@ -1,0 +1,219 @@
+"""Exact phrase search over the persisted inverted index.
+
+The reference engine has no phrase operator (it serves whole-document
+vector search, /root/reference/index.go:52-86); a fulltext engine needs
+one, and the Spark-first construction is a two-stage prune-then-verify
+plan that never scans the corpus:
+
+1. **Conjunctive candidates from the index** — a phrase can only occur in
+   documents containing ALL its terms, so the candidate set is the
+   per-``doc_bucket`` intersection of the query terms' posting lists
+   (pruned parquet scan: term_bucket partition filters + term predicate
+   pushdown, exactly :meth:`wand.IndexReader.candidate_blocks`).  The
+   candidate count is bounded by the rarest term's df — Zipf makes this
+   small for any phrase containing one non-head term.
+
+2. **Positional verify on the candidates only** — the index stores no
+   positions (by design: positions triple index size; candidates are
+   cheap to re-check), so candidates rehydrate their token arrays from
+   the staged docs and count exact phrase occurrences with JVM
+   higher-order array functions (``filter`` over start offsets — no
+   Python in the verify).  The docs scan is partition-pruned to the
+   units containing candidates, and the candidate side is broadcast, so
+   the verify is a map-side join over a pruned scan: NO corpus shuffle.
+
+Scoring treats the phrase as one pseudo-term: tf = exact occurrence
+count (overlaps included), df = number of documents containing the
+phrase, dl/avgdl/N from the index stats — standard BM25, bit-identical
+to the DuckDB oracle (idf derived driver-side in CPython, same
+convention as wand.IndexReader._dictionary_rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import codec
+from ..analyzer import tokenize, tokens_col
+from ..functions.bm25 import term_score_col
+from ..oracle import idf as oracle_idf
+
+#: broadcast the candidate side of the verify join only below this many
+#: candidate docs (driver-side count; above it fall back to a shuffled
+#: join and let AQE pick the strategy)
+BROADCAST_CANDIDATES_MAX = 2_000_000
+
+_EMPTY_SCHEMA = "doc_id bigint, ptf int, score double"
+
+
+def phrase_tf_col(toks, terms: list[str]):
+    """Exact phrase-occurrence count (overlapping occurrences counted) of
+    the ordered ``terms`` inside token array ``toks`` — pure JVM
+    higher-order functions, codegen-friendly, no UDF.
+
+    Guarded like dedup.shingles_col: for docs shorter than the phrase the
+    start-offset ``sequence`` would count DOWN, so it is replaced by [].
+    """
+    w = len(terms)
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(w - 1))
+    guarded = F.when(F.size(toks) >= w, starts).otherwise(
+        F.array().cast("array<int>")
+    )
+    terms_lit = F.lit(terms)
+
+    def is_match(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(w - 1)),
+            F.lit(True),
+            lambda acc, j: acc
+            & (
+                F.element_at(toks, (i + j).cast("int"))
+                == F.element_at(terms_lit, (j + 1).cast("int"))
+            ),
+        )
+
+    return F.size(F.filter(guarded, is_match)).cast("int")
+
+
+def conjunctive_doc_ids(reader, terms: list[str]) -> DataFrame | None:
+    """Docs containing ALL ``terms``: per-bucket posting-list intersection.
+
+    Returns (doc_bucket, doc_id) or None when any term is OOV (no doc can
+    match).  One pruned scan + one exchange sized to the true bucket
+    count; per bucket the decode is the same numpy varint path the WAND
+    scorer uses, and the intersection is sorted-array ``np.intersect1d``.
+    """
+    uniq = sorted(set(terms))
+    dict_rows = reader._dictionary_rows(uniq)
+    if len(dict_rows) < len(uniq):
+        return None
+    blocks = reader.candidate_blocks(uniq, [b for _, b in dict_rows.values()])
+    n_terms = len(uniq)
+
+    def intersect(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term = []
+        for _, g in pdf.groupby("term"):
+            ids = np.concatenate(
+                [
+                    codec.decode_doc_ids(ids_b, int(first), int(n))
+                    for ids_b, first, n in zip(
+                        g["doc_ids_delta"], g["first_doc"], g["n_docs"]
+                    )
+                ]
+            )
+            per_term.append(ids)
+        if len(per_term) < n_terms:
+            return pd.DataFrame({"doc_bucket": [], "doc_id": []}).astype(
+                {"doc_bucket": "int32", "doc_id": "int64"}
+            )
+        # rarest-first: intersections only shrink, so start smallest
+        per_term.sort(key=len)
+        acc = per_term[0]
+        for ids in per_term[1:]:
+            acc = np.intersect1d(acc, ids, assume_unique=True)
+            if acc.shape[0] == 0:
+                break
+        return pd.DataFrame(
+            {
+                "doc_bucket": np.full(acc.shape[0], int(pdf["doc_bucket"].iloc[0]), dtype=np.int32),
+                "doc_id": acc,
+            }
+        )
+
+    n_buckets = -(-int(reader.stats["n_docs"]) // int(reader.stats["doc_bucket_size"]))
+    n_part = max(1, min(reader.spark.sparkContext.defaultParallelism, n_buckets))
+    return (
+        blocks.repartition(n_part, "doc_bucket")
+        .groupBy("doc_bucket")
+        .applyInPandas(intersect, schema="doc_bucket int, doc_id long")
+    )
+
+
+def phrase_search(reader, phrase_text: str, k: int = 10) -> DataFrame:
+    """Top-k BM25 phrase search: (doc_id, ptf, score), (score DESC,
+    doc_id ASC).  Empty phrase, OOV term, no occurrence, or k<=0 → 0 rows
+    (reference guard semantics, /root/reference/index.go:54-56)."""
+    spark = reader.spark
+    terms = tokenize(phrase_text)
+    if k <= 0 or not terms:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    cands = conjunctive_doc_ids(reader, terms)
+    if cands is None:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    cands = cands.cache()
+    try:
+        n_cand = cands.count()
+        if n_cand == 0:
+            return spark.createDataFrame([], _EMPTY_SCHEMA)
+        # docs scan pruned to the units that contain candidates (unit is
+        # the staged layout's partition dir = pmod(doc_bucket, n_units))
+        buckets = [int(r["doc_bucket"]) for r in cands.select("doc_bucket").distinct().collect()]
+        docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
+        cand_ids = cands.select("doc_id")
+        if n_cand <= BROADCAST_CANDIDATES_MAX:
+            cand_ids = F.broadcast(cand_ids)
+        toks = tokens_col("text")
+        verified = (
+            docs.join(cand_ids, "doc_id")
+            .select(
+                "doc_id",
+                phrase_tf_col(toks, terms).alias("ptf"),
+                F.size(toks).cast("int").alias("dl"),
+            )
+            .filter(F.col("ptf") >= 1)
+            .cache()
+        )
+        try:
+            df_phrase = verified.count()
+            if df_phrase == 0:
+                return spark.createDataFrame([], _EMPTY_SCHEMA)
+            # idf in CPython from (N, df): bit-identical to the oracle's
+            # correctly-rounded libm ln (wand._dictionary_rows convention)
+            n_docs = int(reader.stats["n_docs"])
+            avgdl = float(reader.stats["avgdl"])
+            idf = oracle_idf(n_docs, df_phrase)
+            scored = verified.select(
+                "doc_id",
+                "ptf",
+                term_score_col(
+                    F.col("ptf"), F.col("dl"), F.lit(avgdl), F.lit(idf)
+                ).alias("score"),
+            )
+            out = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            # materialize before the caches unpersist under it
+            rows = out.collect()
+            return spark.createDataFrame(rows, schema=out.schema) if rows else spark.createDataFrame([], _EMPTY_SCHEMA)
+        finally:
+            verified.unpersist()
+    finally:
+        cands.unpersist()
+
+
+def phrase_count(reader, phrase_text: str) -> DataFrame:
+    """(n_docs, n_occurrences) of the phrase across the corpus — the
+    cheap EXISTS/count form of the same prune-then-verify plan."""
+    spark = reader.spark
+    terms = tokenize(phrase_text)
+    empty = "n_docs bigint, n_occurrences bigint"
+    if not terms:
+        return spark.createDataFrame([(0, 0)], empty)
+    cands = conjunctive_doc_ids(reader, terms)
+    if cands is None:
+        return spark.createDataFrame([(0, 0)], empty)
+    buckets = [int(r["doc_bucket"]) for r in cands.select("doc_bucket").distinct().collect()]
+    if not buckets:
+        return spark.createDataFrame([(0, 0)], empty)
+    docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
+    toks = tokens_col("text")
+    hits = (
+        docs.join(F.broadcast(cands.select("doc_id")), "doc_id")
+        .select(phrase_tf_col(toks, terms).alias("ptf"))
+        .filter(F.col("ptf") >= 1)
+    )
+    return hits.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("ptf"), F.lit(0)).cast("bigint").alias("n_occurrences"),
+    )

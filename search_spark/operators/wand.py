@@ -572,30 +572,42 @@ class IndexReader:
         """Single query → (rank, doc_id, score)."""
         return self.batch_search([("q", query_text)], k).drop("query_id")
 
-    def rehydrate(self, results: DataFrame) -> DataFrame:
-        """Join results back to the staged docs table — the reference keeps
-        the payload inline in each entry (/root/reference/index.go:16-17);
-        we store it relationally and join on demand.
+    def doc_source(self, buckets: list[int] | None = None) -> DataFrame:
+        """The store's staged document table (batch docs ∪ stream docs).
 
         Doc sources mirror the index's own discovery (streaming/ingest.py
         finalize): batch docs PLUS stream_docs/batch=* — a stream-only
         store has no batch docs dir at all, and a hybrid store's streamed
-        doc_ids would otherwise rehydrate to NULLs."""
+        doc_ids would otherwise rehydrate to NULLs.
+
+        ``buckets`` prunes the batch side to the unit partitions that can
+        contain those doc_buckets (unit = pmod(doc_bucket, n_units) — the
+        staged layout, indexer.stage_docs) plus a doc_bucket predicate for
+        row-group skipping; stream segments are small and read unpruned.
+        """
         import os
 
         cols = ["doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
         sources = []
         if os.path.exists(self.store.docs_path()):
-            sources.append(
-                self.spark.read.parquet(self.store.docs_path()).select(*cols)
-            )
+            batch = self.spark.read.parquet(self.store.docs_path())
+            if buckets is not None:
+                n_units = int(self.store.checkpoints().get("n_units", 1))
+                units = sorted({b % n_units for b in buckets})
+                batch = batch.filter(
+                    F.col("unit").isin(units)
+                    & F.col("doc_bucket").isin(sorted(set(buckets)))
+                )
+            sources.append(batch.select(*cols))
         sdocs_root = os.path.join(self.store.root, "stream_docs")
         if os.path.exists(sdocs_root):
-            sources.append(
+            stream = (
                 self.spark.read.option("basePath", sdocs_root)
                 .parquet(sdocs_root)
-                .select(*cols)
             )
+            if buckets is not None and "doc_bucket" in stream.columns:
+                stream = stream.filter(F.col("doc_bucket").isin(sorted(set(buckets))))
+            sources.append(stream.select(*cols))
         if not sources:
             raise FileNotFoundError(
                 f"no docs staged under {self.store.root} (neither batch docs "
@@ -604,4 +616,10 @@ class IndexReader:
         docs = sources[0]
         for d in sources[1:]:
             docs = docs.unionByName(d)
-        return results.join(docs, "doc_id", "left")
+        return docs
+
+    def rehydrate(self, results: DataFrame) -> DataFrame:
+        """Join results back to the staged docs table — the reference keeps
+        the payload inline in each entry (/root/reference/index.go:16-17);
+        we store it relationally and join on demand."""
+        return results.join(self.doc_source(), "doc_id", "left")

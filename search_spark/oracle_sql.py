@@ -70,6 +70,78 @@ ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
 
 
+def phrase_topk_sql(phrase_text: str, k: int, docs_sql: str = DOCS_SQL) -> str:
+    """Top-k BM25 phrase search (operators/phrase.py twin): the phrase is
+    one pseudo-term with tf = exact (overlap-counting) occurrence count
+    via a positional scan over the token list, df = docs containing it;
+    output (doc_id, rank, score_micro, ptf)."""
+    terms = tokenize(phrase_text)
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, 1 AS rank, "
+            "CAST(NULL AS BIGINT) AS score_micro, 0 AS ptf WHERE false"
+        )
+    w = len(terms)
+    conds = " AND ".join(
+        f"toks[i+{j}] = '{t}'" if j else f"toks[i] = '{t}'"
+        for j, t in enumerate(terms)
+    )
+    idf = sql_idf("stats.n_docs", "pdf.df")
+    score = sql_term_score("hits.tf", "dl.dl", "stats.avgdl", idf)
+    return f"""
+WITH docs AS ({docs_sql}),
+  tok AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM docs),
+  dl  AS (SELECT doc_id, len(toks) AS dl FROM tok),
+  stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+  ptf AS (
+    SELECT doc_id,
+           len(list_filter(range(1, greatest(len(toks) - {w} + 2, 1)),
+                           i -> {conds})) AS tf
+    FROM tok),
+  hits AS (SELECT doc_id, tf FROM ptf WHERE tf >= 1),
+  pdf AS (SELECT count(*) AS df FROM hits),
+  scored AS (
+    SELECT hits.doc_id, hits.tf AS ptf, {score} AS score
+    FROM hits JOIN dl ON dl.doc_id = hits.doc_id
+    CROSS JOIN stats CROSS JOIN pdf),
+  rounded AS (
+    SELECT doc_id, ptf, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+    FROM scored)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       score_micro,
+       CAST(ptf AS INT) AS ptf
+FROM rounded
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
+def phrase_count_sql(phrase_text: str, docs_sql: str = DOCS_SQL) -> str:
+    """(n_docs, n_occurrences) of the exact phrase across the corpus."""
+    terms = tokenize(phrase_text)
+    if not terms:
+        return (
+            "SELECT CAST(0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_occurrences"
+        )
+    w = len(terms)
+    conds = " AND ".join(
+        f"toks[i+{j}] = '{t}'" if j else f"toks[i] = '{t}'"
+        for j, t in enumerate(terms)
+    )
+    return f"""
+WITH docs AS ({docs_sql}),
+  tok AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM docs),
+  ptf AS (
+    SELECT doc_id,
+           len(list_filter(range(1, greatest(len(toks) - {w} + 2, 1)),
+                           i -> {conds})) AS tf
+    FROM tok),
+  hits AS (SELECT doc_id, tf FROM ptf WHERE tf >= 1)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(tf), 0) AS BIGINT) AS n_occurrences
+FROM hits"""
+
+
 def bm25_batch_sql(pairs: list[tuple[str, str]], k: int, docs_sql: str = DOCS_SQL) -> str:
     """Batch top-k: UNION ALL of per-query oracles with a query_id column."""
     parts = [

@@ -1,0 +1,102 @@
+"""Phrase search: engine vs DuckDB oracle rank identity, guard semantics,
+plan shape (pruned candidate scan, broadcast verify join)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from search_spark.corpus import transcripts_from_documents
+from search_spark.operators.indexer import build_index
+from search_spark.operators.phrase import (
+    conjunctive_doc_ids,
+    phrase_count,
+    phrase_search,
+    phrase_tf_col,
+)
+from search_spark.operators.wand import IndexReader
+from search_spark.oracle_sql import phrase_count_sql, phrase_topk_sql
+from search_spark.sources.index_store import IndexStore
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("phrase_idx"))
+    store = IndexStore(root, doc_bucket_size=128, term_buckets=8)
+    build_index(spark, transcripts_from_documents(spark, SF), store, n_units=2)
+    return IndexReader(spark, store)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        "order fast",          # head bigram (df≈47)
+        "big order scan",      # selective trigram
+        "the",                 # single-term phrase == term search w/ ptf
+        "order order",         # repeated-term phrase (overlap counting)
+    ],
+)
+def test_phrase_matches_oracle(reader, ddb, phrase):
+    got = [
+        (r["doc_id"], round(r["score"] * 1e6), r["ptf"])
+        for r in phrase_search(reader, phrase, 10).collect()
+    ]
+    want = [(r[0], r[2], r[3]) for r in ddb.execute(phrase_topk_sql(phrase, 10)).fetchall()]
+    assert got == want
+
+
+def test_phrase_guards(reader):
+    assert phrase_search(reader, "zzq unseen", 10).count() == 0  # OOV term
+    assert phrase_search(reader, "", 10).count() == 0            # empty phrase
+    assert phrase_search(reader, "order fast", 0).count() == 0   # k=0
+    # terms exist but never adjacent in this order (cands > 0, verify = 0)
+    assert phrase_search(reader, "fast order fast order fast", 10).count() == 0
+
+
+def test_phrase_count_matches_oracle(reader, ddb):
+    got = phrase_count(reader, "order fast").collect()[0]
+    want = ddb.execute(phrase_count_sql("order fast")).fetchall()[0]
+    assert (got["n_docs"], got["n_occurrences"]) == want
+
+
+def test_phrase_tf_overlap_counting(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "a", "a"]), (2, ["a"]), (3, [])],
+        "doc_id int, toks array<string>",
+    )
+    out = {
+        r["doc_id"]: r["ptf"]
+        for r in df.select(
+            "doc_id", phrase_tf_col(F.col("toks"), ["a", "a"]).alias("ptf")
+        ).collect()
+    }
+    assert out == {1: 3, 2: 0, 3: 0}  # overlapping occurrences all counted
+
+
+def test_conjunctive_candidates_superset_and_pruned_plan(reader, spark):
+    cands = conjunctive_doc_ids(reader, ["order", "fast"])
+    ids = {r["doc_id"] for r in cands.collect()}
+    hits = {r["doc_id"] for r in phrase_search(reader, "order fast", 1000).collect()}
+    assert hits <= ids and len(ids) > 0
+    # candidate scan must be partition-pruned + term-pushed
+    plan = reader.candidate_blocks(
+        ["order", "fast"],
+        [b for _, b in reader._dictionary_rows(["fast", "order"]).values()],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan
