@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 from search_spark import oracle_sql as osql
 from search_spark.analyzer import sql_tokens, tokenize, tokens_col
-from search_spark.corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS, transcripts_from_documents
+from search_spark.corpus import (
+    SQL_TRANSCRIPTS_FROM_DOCUMENTS,
+    TURNS_PER_CONV,
+    transcripts_from_documents,
+)
 from search_spark.operators.build import build_df_index, score_query_df
 from search_spark.operators.docids import assign_doc_ids
 from search_spark.sources.queryset import load_queryset_py
@@ -236,6 +240,53 @@ def _q_phrase_count(spark, sf_dir):
     from search_spark.operators.phrase import phrase_count
 
     return phrase_count(_wand_reader(spark, sf_dir), Q_PHRASE)
+
+
+#: boolean gate clauses — head must + mid should + head must_not exercises
+#: intersection, score-only terms, and exclusion in one entry
+BOOL_MUST = "table scan"
+BOOL_SHOULD = "filter hash"
+BOOL_MUST_NOT = "order"
+
+
+def _q_boolean(spark, sf_dir):
+    """Filtered BM25 (operators/boolean.py): must ∧ ¬must_not candidates
+    from posting-set algebra, scored over must ∪ should."""
+    from search_spark.operators.boolean import boolean_search
+
+    res = boolean_search(
+        _wand_reader(spark, sf_dir), BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, _TOPK
+    )
+    micro = res.select(
+        "doc_id", F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro")
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "rank", "score_micro"
+    )
+
+
+def _q_boolean_should(spark, sf_dir):
+    """Disjunctive-with-exclusion form (no must clause)."""
+    from search_spark.operators.boolean import boolean_search
+
+    res = boolean_search(
+        _wand_reader(spark, sf_dir), "", BOOL_SHOULD, BOOL_MUST_NOT, _TOPK
+    )
+    micro = res.select(
+        "doc_id", F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro")
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "rank", "score_micro"
+    )
+
+
+def _q_facet_role(spark, sf_dir):
+    """Index-driven facet counts over the match set's role column."""
+    from search_spark.operators.boolean import facet_counts
+
+    return facet_counts(_wand_reader(spark, sf_dir), BOOL_MUST, facet="role", mode="any")
 
 
 _COMPACT_CACHE: dict[str, object] = {}
@@ -672,6 +723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase,
         "phrase_topk_long": _q_phrase_long,
         "phrase_count": _q_phrase_count,
+        "boolean_topk": _q_boolean,
+        "boolean_should_topk": _q_boolean_should,
+        "facet_role_counts": _q_facet_role,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -729,6 +783,17 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": osql.phrase_topk_sql(Q_PHRASE, _TOPK),
         "phrase_topk_long": osql.phrase_topk_sql(Q_PHRASE_LONG, _TOPK),
         "phrase_count": osql.phrase_count_sql(Q_PHRASE),
+        "boolean_topk": osql.boolean_topk_sql(
+            BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, _TOPK
+        ),
+        "boolean_should_topk": osql.boolean_topk_sql(
+            "", BOOL_SHOULD, BOOL_MUST_NOT, _TOPK
+        ),
+        "facet_role_counts": osql.facet_counts_sql(
+            BOOL_MUST,
+            f"CASE WHEN (doc_id % {TURNS_PER_CONV}) % 2 = 0 "
+            "THEN 'user' ELSE 'assistant' END",
+        ),
         "dedup_exact": osp.dedup_exact_sql(),
         "dedup_minhash_lsh": osp.minhash_lsh_sql(),
         "dedup_ngram_jaccard": osp.ngram_jaccard_sql(),

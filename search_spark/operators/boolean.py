@@ -1,0 +1,261 @@
+"""Boolean retrieval (MUST / SHOULD / MUST_NOT) and faceting over the
+persisted inverted index.
+
+The reference engine scores every query as a disjunctive vector match
+(/root/reference/index.go:52-86); a fulltext engine also needs filtered
+retrieval — "all of these, none of those, rank by relevance".  The
+Spark-first construction keeps the exact plan shape of
+:meth:`wand.IndexReader.batch_search`: one partition-pruned,
+term-pushed posting scan covering every clause's terms, ONE exchange
+sized to the true doc-bucket count, then a per-bucket Arrow kernel that
+does candidate algebra and scoring as numpy set/array ops:
+
+- **MUST** — per-bucket sorted-array intersection of the must terms'
+  posting lists (a doc lives in exactly one bucket, so bucket-local
+  intersection is globally correct).
+- **MUST_NOT** — sorted-array set-difference against the union of the
+  excluded terms' postings in the same bucket.  No corpus scan: an
+  exclusion only needs the excluded terms' postings.
+- **SHOULD** — when no MUST clause exists the candidates are the union
+  of the should terms' postings; otherwise should terms only add score.
+- **Scoring** — BM25 summed over the distinct (must ∪ should) terms a
+  candidate contains, accumulated per term in ascending term order into
+  a float64 array indexed by candidate position (bit-identical summation
+  order to wand.dense_topk and the DuckDB oracle).
+
+OOV semantics mirror the reference's guard style (index.go:54-56): an
+OOV must term → 0 rows (nothing can match); OOV should / must_not terms
+drop out of their clause.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from .. import codec
+from ..analyzer import tokenize
+from ..functions.bm25 import B, K1
+
+_EMPTY_SCHEMA = "doc_id bigint, score double"
+
+
+def _decode_term(group: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concat-decode one term's blocks within a bucket group →
+    (doc_ids, tfs, dls), doc_ids sorted ascending (block order is doc
+    order by construction, indexer.finalize)."""
+    ids, tfs, dls = [], [], []
+    for ids_b, tfs_b, dls_b, n, first in zip(
+        group["doc_ids_delta"], group["tfs"], group["dls"],
+        group["n_docs"], group["first_doc"],
+    ):
+        n = int(n)
+        ids.append(codec.decode_doc_ids(ids_b, int(first), n))
+        tfs.append(codec.decode_tfs(tfs_b, n))
+        dls.append(codec.decode_dls(dls_b, n))
+    return np.concatenate(ids), np.concatenate(tfs), np.concatenate(dls)
+
+
+def matching_doc_ids(reader, terms: list[str], mode: str = "all") -> DataFrame | None:
+    """Docs matching ``terms`` under ``mode``: ``all`` = conjunction
+    (intersection of posting lists), ``any`` = disjunction (union).
+
+    Returns (doc_bucket, doc_id); None when no doc can match (``all``
+    with an OOV term, or ``any`` with every term OOV).  Same plan as
+    phrase.conjunctive_doc_ids: pruned scan → one exchange → numpy
+    per-bucket set algebra.
+    """
+    uniq = sorted(set(terms))
+    dict_rows = reader._dictionary_rows(uniq)
+    if mode == "all" and len(dict_rows) < len(uniq):
+        return None
+    live = sorted(dict_rows)
+    if not live:
+        return None
+    blocks = reader.candidate_blocks(live, [b for _, b in dict_rows.values()])
+    n_terms = len(live)
+    conj = mode == "all"
+
+    def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term = [
+            _decode_term(g)[0] for _, g in pdf.groupby("term")
+        ]
+        if conj:
+            if len(per_term) < n_terms:
+                acc = np.empty(0, dtype=np.int64)
+            else:
+                per_term.sort(key=len)
+                acc = per_term[0]
+                for ids in per_term[1:]:
+                    acc = np.intersect1d(acc, ids, assume_unique=True)
+                    if acc.shape[0] == 0:
+                        break
+        else:
+            acc = np.unique(np.concatenate(per_term))
+        return pd.DataFrame(
+            {
+                "doc_bucket": np.full(acc.shape[0], int(pdf["doc_bucket"].iloc[0]), dtype=np.int32),
+                "doc_id": acc,
+            }
+        )
+
+    n_buckets = -(-int(reader.stats["n_docs"]) // int(reader.stats["doc_bucket_size"]))
+    n_part = max(1, min(reader.spark.sparkContext.defaultParallelism, n_buckets))
+    return (
+        blocks.repartition(n_part, "doc_bucket")
+        .groupBy("doc_bucket")
+        .applyInPandas(combine, schema="doc_bucket int, doc_id long")
+    )
+
+
+def boolean_search(
+    reader,
+    must: str = "",
+    should: str = "",
+    must_not: str = "",
+    k: int = 10,
+) -> DataFrame:
+    """Filtered BM25 top-k: (doc_id, score) under (score DESC, doc_id ASC).
+
+    A doc matches iff it contains ALL must terms and NO must_not term;
+    with an empty must clause it matches iff it contains ≥1 should term.
+    Score = BM25 over the distinct (must ∪ should) terms present.
+    """
+    spark = reader.spark
+    must_t = sorted(set(tokenize(must)))
+    should_t = sorted(set(tokenize(should)))
+    mnot_t = sorted(set(tokenize(must_not)) - set(must_t))
+    if k <= 0 or (not must_t and not should_t):
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+
+    all_terms = sorted(set(must_t) | set(should_t) | set(mnot_t))
+    dict_rows = reader._dictionary_rows(all_terms)
+    # OOV must term → nothing can match
+    if any(t not in dict_rows for t in must_t):
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    must_live = must_t
+    should_live = [t for t in should_t if t in dict_rows]
+    mnot_live = [t for t in mnot_t if t in dict_rows]
+    if not must_live and not should_live:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    scoring = sorted(set(must_live) | set(should_live))
+    live = sorted(set(scoring) | set(mnot_live))
+
+    blocks = reader.candidate_blocks(live, [b for _, b in dict_rows.values()])
+    avgdl = float(reader.stats["avgdl"])
+    idf_b = {t: idf for t, (idf, _) in dict_rows.items() if t in scoring}
+    n_must = len(must_live)
+    must_set, mnot_set = set(must_live), set(mnot_live)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {t: _decode_term(g) for t, g in pdf.groupby("term")}
+        # candidates: intersection of musts, else union of shoulds
+        if must_set:
+            musts = [by_term[t][0] for t in must_live if t in by_term]
+            if len(musts) < n_must:
+                return pd.DataFrame(columns=["doc_id", "score"])
+            musts.sort(key=len)
+            cand = musts[0]
+            for ids in musts[1:]:
+                cand = np.intersect1d(cand, ids, assume_unique=True)
+                if cand.shape[0] == 0:
+                    break
+        else:
+            unions = [by_term[t][0] for t in should_live if t in by_term]
+            if not unions:
+                return pd.DataFrame(columns=["doc_id", "score"])
+            cand = np.unique(np.concatenate(unions))
+        if cand.shape[0] and mnot_set:
+            excl = [by_term[t][0] for t in mnot_live if t in by_term]
+            if excl:
+                cand = cand[~np.isin(cand, np.concatenate(excl), assume_unique=False)]
+        if cand.shape[0] == 0:
+            return pd.DataFrame(columns=["doc_id", "score"])
+        # BM25 over scoring terms, ascending term order, accumulated by
+        # candidate position (cand and each posting list are sorted unique)
+        scores = np.zeros(cand.shape[0], dtype=np.float64)
+        for term in scoring:
+            got = by_term.get(term)
+            if got is None:
+                continue
+            docs, tf_i, dl_i = got
+            pos = np.searchsorted(cand, docs)
+            pos_c = np.minimum(pos, cand.shape[0] - 1)
+            mask = cand[pos_c] == docs
+            if not mask.any():
+                continue
+            tf = tf_i[mask].astype(np.float64)
+            dl = dl_i[mask].astype(np.float64)
+            idf = idf_b[term]
+            contrib = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            scores[pos_c[mask]] += contrib
+        keep = np.flatnonzero(scores > 0.0)
+        if keep.shape[0] > k:
+            kth = -np.partition(-scores[keep], k - 1)[k - 1]
+            keep = keep[scores[keep] >= kth]
+        order = np.lexsort((cand[keep], -scores[keep]))[:k]
+        chosen = keep[order]
+        return pd.DataFrame({"doc_id": cand[chosen], "score": scores[chosen]})
+
+    n_buckets = -(-int(reader.stats["n_docs"]) // int(reader.stats["doc_bucket_size"]))
+    n_score = max(1, min(spark.sparkContext.defaultParallelism, max(1, n_buckets)))
+    local = (
+        blocks.repartition(n_score, "doc_bucket")
+        .groupBy("doc_bucket")
+        .applyInPandas(score_bucket, schema=_EMPTY_SCHEMA)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "score")
+    )
+
+
+def facet_counts(
+    reader,
+    query_text: str,
+    facet: str = "role",
+    k: int = 10,
+    mode: str = "any",
+) -> DataFrame:
+    """Facet the query's match set: (facet_value, n_docs) top-k by
+    (n_docs DESC, facet_value ASC).
+
+    Plan: index-driven match set (matching_doc_ids — never a corpus text
+    scan) → broadcast-joined against the doc source pruned to the
+    candidate units → hash-aggregate on the facet column.  One pruned
+    postings scan + one pruned docs scan + one tiny aggregate.
+    """
+    spark = reader.spark
+    terms = tokenize(query_text)
+    empty = "facet_value string, n_docs bigint"
+    if not terms:
+        return spark.createDataFrame([], empty)
+    ids = matching_doc_ids(reader, terms, mode=mode)
+    if ids is None:
+        return spark.createDataFrame([], empty)
+    ids = ids.cache()
+    try:
+        buckets = [int(r["doc_bucket"]) for r in ids.select("doc_bucket").distinct().collect()]
+        if not buckets:
+            return spark.createDataFrame([], empty)
+        docs = reader.doc_source(buckets=buckets).select("doc_id", facet)
+        out = (
+            docs.join(F.broadcast(ids.select("doc_id")), "doc_id")
+            .groupBy(F.col(facet).cast("string").alias("facet_value"))
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc_nulls_last("facet_value"))
+            .limit(k)
+        )
+        rows = out.collect()
+        return (
+            spark.createDataFrame(rows, schema=out.schema)
+            if rows
+            else spark.createDataFrame([], empty)
+        )
+    finally:
+        ids.unpersist()

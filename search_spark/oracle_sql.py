@@ -142,6 +142,99 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM hits"""
 
 
+def boolean_topk_sql(
+    must: str = "",
+    should: str = "",
+    must_not: str = "",
+    k: int = 10,
+    docs_sql: str = DOCS_SQL,
+) -> str:
+    """Filtered BM25 top-k (operators/boolean.py twin): docs containing
+    ALL must terms (or ≥1 should term when must is empty) and NO must_not
+    term, scored over the distinct must ∪ should terms present; output
+    (doc_id, rank, score_micro).  A term in both must and must_not is
+    treated as must (the engine's clause-precedence rule)."""
+    must_t = sorted(set(tokenize(must)))
+    should_t = sorted(set(tokenize(should)))
+    mnot_t = sorted(set(tokenize(must_not)) - set(must_t))
+    scoring = sorted(set(must_t) | set(should_t))
+    if k <= 0 or not scoring:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, 1 AS rank, "
+            "CAST(NULL AS BIGINT) AS score_micro WHERE false"
+        )
+    if must_t:
+        matched = f"""
+    SELECT doc_id FROM tf JOIN (SELECT term FROM {_values_terms(must_t)}) mq USING (term)
+    GROUP BY doc_id HAVING count(*) = {len(must_t)}"""
+    else:
+        matched = f"""
+    SELECT DISTINCT doc_id FROM tf JOIN (SELECT term FROM {_values_terms(should_t)}) sq USING (term)"""
+    excl = (
+        f"""AND doc_id NOT IN (
+      SELECT DISTINCT doc_id FROM tf JOIN (SELECT term FROM {_values_terms(mnot_t)}) nq USING (term))"""
+        if mnot_t
+        else ""
+    )
+    idf = sql_idf("stats.n_docs", "dft.df")
+    score = sql_term_score("tf.tf", "dl.dl", "stats.avgdl", idf)
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  matched AS ({matched}),
+  cand AS (SELECT doc_id FROM matched WHERE true {excl}),
+  scored AS (
+    SELECT tf.doc_id, sum({score}) AS score
+    FROM tf
+    JOIN (SELECT term FROM {_values_terms(scoring)}) q USING (term)
+    JOIN dft USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN cand ON cand.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id),
+  rounded AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+    FROM scored)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       score_micro
+FROM rounded
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
+def facet_counts_sql(
+    query_text: str,
+    facet_expr: str,
+    k: int = 10,
+    mode: str = "any",
+    docs_sql: str = DOCS_SQL,
+) -> str:
+    """Facet the query's match set (operators/boolean.facet_counts twin):
+    (facet_value, n_docs) top-k by (n_docs DESC, facet_value ASC NULLS
+    LAST).  ``facet_expr`` is a SQL expression over ``docs`` columns
+    (transcript facets derive from doc_id — corpus.SQL_TRANSCRIPTS_FROM_
+    DOCUMENTS assigns role/tool as pure functions of doc_id)."""
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return "SELECT CAST(NULL AS VARCHAR) AS facet_value, CAST(0 AS BIGINT) AS n_docs WHERE false"
+    if mode == "all":
+        matched = f"""
+    SELECT doc_id FROM tf JOIN (SELECT term FROM {_values_terms(terms)}) q USING (term)
+    GROUP BY doc_id HAVING count(*) = {len(terms)}"""
+    else:
+        matched = f"""
+    SELECT DISTINCT doc_id FROM tf JOIN (SELECT term FROM {_values_terms(terms)}) q USING (term)"""
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  matched AS ({matched})
+SELECT CAST({facet_expr} AS VARCHAR) AS facet_value,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched JOIN docs USING (doc_id)
+GROUP BY 1
+ORDER BY n_docs DESC, facet_value ASC NULLS LAST
+LIMIT {k}"""
+
+
 def bm25_batch_sql(pairs: list[tuple[str, str]], k: int, docs_sql: str = DOCS_SQL) -> str:
     """Batch top-k: UNION ALL of per-query oracles with a query_id column."""
     parts = [
