@@ -242,6 +242,28 @@ def _q_phrase_count(spark, sf_dir):
     return phrase_count(_wand_reader(spark, sf_dir), Q_PHRASE)
 
 
+#: proximity gate query: terms co-occur within |terms|+slop tokens
+Q_NEAR = "table hash"
+NEAR_SLOP = 3
+
+
+def _q_near(spark, sf_dir):
+    """Proximity (slop) search — pseudo-term BM25 like phrase, windowed
+    unordered co-occurrence instead of exact adjacency."""
+    from search_spark.operators.phrase import near_search
+
+    res = near_search(_wand_reader(spark, sf_dir), Q_NEAR, NEAR_SLOP, _TOPK)
+    micro = res.select(
+        "doc_id",
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+        F.col("ptf").cast("int").alias("ptf"),
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "rank", "score_micro", "ptf"
+    )
+
+
 #: boolean gate clauses — head must + mid should + head must_not exercises
 #: intersection, score-only terms, and exclusion in one entry
 BOOL_MUST = "table scan"
@@ -723,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": _q_phrase,
         "phrase_topk_long": _q_phrase_long,
         "phrase_count": _q_phrase_count,
+        "near_topk": _q_near,
         "boolean_topk": _q_boolean,
         "boolean_should_topk": _q_boolean_should,
         "facet_role_counts": _q_facet_role,
@@ -783,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk": osql.phrase_topk_sql(Q_PHRASE, _TOPK),
         "phrase_topk_long": osql.phrase_topk_sql(Q_PHRASE_LONG, _TOPK),
         "phrase_count": osql.phrase_count_sql(Q_PHRASE),
+        "near_topk": osql.near_topk_sql(Q_NEAR, NEAR_SLOP, _TOPK),
         "boolean_topk": osql.boolean_topk_sql(
             BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, _TOPK
         ),

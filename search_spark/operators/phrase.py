@@ -132,12 +132,58 @@ def conjunctive_doc_ids(reader, terms: list[str]) -> DataFrame | None:
     )
 
 
+def near_tf_col(toks, terms: list[str], slop: int):
+    """Proximity pseudo-term tf: the number of start offsets ``i`` whose
+    window ``toks[i .. i+w-1]`` (w = |distinct terms| + slop) contains ALL
+    of ``terms`` in any order.  slop=0 ≡ unordered adjacency; overlapping
+    windows are all counted (deterministic, mirrored by the SQL oracle).
+    Pure JVM higher-order functions — no UDF in the verify."""
+    uniq = sorted(set(terms))
+    w = len(uniq) + slop
+    # clamp the window to the doc: a short doc containing all terms still
+    # matches (its only window is the whole doc)
+    w_eff = F.least(F.lit(w), F.size(toks))
+    starts = F.sequence(F.lit(1), F.size(toks) - w_eff + F.lit(1))
+    guarded = F.when(F.size(toks) >= len(uniq), starts).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def is_match(i):
+        win = F.slice(toks, i, w_eff)
+        return F.forall(
+            F.lit(uniq), lambda t: F.exists(win, lambda x: x == t)
+        )
+
+    return F.size(F.filter(guarded, is_match)).cast("int")
+
+
 def phrase_search(reader, phrase_text: str, k: int = 10) -> DataFrame:
     """Top-k BM25 phrase search: (doc_id, ptf, score), (score DESC,
     doc_id ASC).  Empty phrase, OOV term, no occurrence, or k<=0 → 0 rows
     (reference guard semantics, /root/reference/index.go:54-56)."""
-    spark = reader.spark
     terms = tokenize(phrase_text)
+    return _pseudo_term_search(
+        reader, terms, lambda toks: phrase_tf_col(toks, terms), k
+    )
+
+
+def near_search(reader, query_text: str, slop: int = 2, k: int = 10) -> DataFrame:
+    """Top-k BM25 proximity search: docs where all query terms co-occur
+    within a window of |distinct terms| + slop tokens, scored as one
+    pseudo-term (tf = matching-window count, df = matching-doc count).
+    Same prune-then-verify plan as phrase_search."""
+    terms = tokenize(query_text)
+    return _pseudo_term_search(
+        reader, terms, lambda toks: near_tf_col(toks, terms, slop), k
+    )
+
+
+def _pseudo_term_search(reader, terms: list[str], tf_builder, k: int) -> DataFrame:
+    """Shared prune-then-verify engine for pseudo-term operators (phrase,
+    proximity): conjunctive candidates from the index → partition-pruned
+    positional verify with ``tf_builder(toks)`` → BM25 with the pseudo-
+    term's (tf, df)."""
+    spark = reader.spark
     if k <= 0 or not terms:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
     cands = conjunctive_doc_ids(reader, terms)
@@ -160,7 +206,7 @@ def phrase_search(reader, phrase_text: str, k: int = 10) -> DataFrame:
             docs.join(cand_ids, "doc_id")
             .select(
                 "doc_id",
-                phrase_tf_col(toks, terms).alias("ptf"),
+                tf_builder(toks).alias("ptf"),
                 F.size(toks).cast("int").alias("dl"),
             )
             .filter(F.col("ptf") >= 1)

@@ -116,6 +116,57 @@ ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
 
 
+def near_topk_sql(
+    query_text: str, slop: int, k: int, docs_sql: str = DOCS_SQL
+) -> str:
+    """Top-k BM25 proximity search (operators/phrase.near_search twin):
+    pseudo-term tf = number of start offsets whose window of
+    |distinct terms| + slop tokens contains every query term in any
+    order; output (doc_id, rank, score_micro, ptf)."""
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, 1 AS rank, "
+            "CAST(NULL AS BIGINT) AS score_micro, 0 AS ptf WHERE false"
+        )
+    w = len(terms) + slop
+    terms_list = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    # window clamped to the doc (engine's w_eff), so short docs containing
+    # every term still match on their single whole-doc window
+    weff = f"least({w}, len(toks))"
+    cond = f"list_has_all(list_slice(toks, i, i + {weff} - 1), {terms_list})"
+    idf = sql_idf("stats.n_docs", "pdf.df")
+    score = sql_term_score("hits.tf", "dl.dl", "stats.avgdl", idf)
+    return f"""
+WITH docs AS ({docs_sql}),
+  tok AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM docs),
+  dl  AS (SELECT doc_id, len(toks) AS dl FROM tok),
+  stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+  ptf AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= {len(terms)} THEN
+             len(list_filter(range(1, greatest(len(toks) - {weff} + 2, 1)),
+                             i -> {cond}))
+           ELSE 0 END AS tf
+    FROM tok),
+  hits AS (SELECT doc_id, tf FROM ptf WHERE tf >= 1),
+  pdf AS (SELECT count(*) AS df FROM hits),
+  scored AS (
+    SELECT hits.doc_id, hits.tf AS ptf, {score} AS score
+    FROM hits JOIN dl ON dl.doc_id = hits.doc_id
+    CROSS JOIN stats CROSS JOIN pdf),
+  rounded AS (
+    SELECT doc_id, ptf, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+    FROM scored)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       score_micro,
+       CAST(ptf AS INT) AS ptf
+FROM rounded
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
 def phrase_count_sql(phrase_text: str, docs_sql: str = DOCS_SQL) -> str:
     """(n_docs, n_occurrences) of the exact phrase across the corpus."""
     terms = tokenize(phrase_text)

@@ -15,12 +15,14 @@ from search_spark.corpus import transcripts_from_documents
 from search_spark.operators.indexer import build_index
 from search_spark.operators.phrase import (
     conjunctive_doc_ids,
+    near_search,
+    near_tf_col,
     phrase_count,
     phrase_search,
     phrase_tf_col,
 )
 from search_spark.operators.wand import IndexReader
-from search_spark.oracle_sql import phrase_count_sql, phrase_topk_sql
+from search_spark.oracle_sql import near_topk_sql, phrase_count_sql, phrase_topk_sql
 from search_spark.sources.index_store import IndexStore
 
 SF = "/root/testdata/sf0.001"
@@ -87,6 +89,52 @@ def test_phrase_tf_overlap_counting(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 0, 3: 0}  # overlapping occurrences all counted
+
+
+@pytest.mark.parametrize(
+    "text,slop",
+    [
+        ("order fast", 0),        # slop=0 ≡ unordered adjacency
+        ("order fast", 2),
+        ("scan filter table", 3),
+        ("order", 1),             # single term: window = 1+slop
+    ],
+)
+def test_near_matches_oracle(reader, ddb, text, slop):
+    got = [
+        (r["doc_id"], round(r["score"] * 1e6), r["ptf"])
+        for r in near_search(reader, text, slop, 10).collect()
+    ]
+    want = [
+        (r[0], r[2], r[3])
+        for r in ddb.execute(near_topk_sql(text, slop, 10)).fetchall()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_near_widens_with_slop(reader):
+    """Proximity matches are monotone in slop and contain phrase matches."""
+    phrase = {r["doc_id"] for r in phrase_search(reader, "order fast", 1000).collect()}
+    near0 = {r["doc_id"] for r in near_search(reader, "order fast", 0, 1000).collect()}
+    near3 = {r["doc_id"] for r in near_search(reader, "order fast", 3, 1000).collect()}
+    assert phrase <= near0 <= near3
+
+
+def test_near_tf_window_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "x", "b"]), (2, ["a", "x", "x", "b"]), (3, ["a"]), (4, [])],
+        "doc_id int, toks array<string>",
+    )
+    def tfs(slop):
+        return {
+            r["doc_id"]: r["ptf"]
+            for r in df.select(
+                "doc_id", near_tf_col(F.col("toks"), ["a", "b"], slop).alias("ptf")
+            ).collect()
+        }
+    assert tfs(0) == {1: 0, 2: 0, 3: 0, 4: 0}   # window 2: never adjacent
+    assert tfs(1) == {1: 1, 2: 0, 3: 0, 4: 0}   # window 3 covers a,x,b
+    assert tfs(2) == {1: 1, 2: 1, 3: 0, 4: 0}   # window 4 covers a,x,x,b
 
 
 def test_conjunctive_candidates_superset_and_pruned_plan(reader, spark):
