@@ -264,6 +264,23 @@ def _q_near(spark, sf_dir):
     )
 
 
+#: prefix gate query — expands to several corpus terms
+Q_PREFIX = "fi"
+
+
+def _q_prefix(spark, sf_dir):
+    """Prefix search (operators/prefix.py): capped dictionary expansion →
+    disjunctive BM25 through the standard batch scorer."""
+    from search_spark.operators.prefix import prefix_search
+
+    res = prefix_search(_wand_reader(spark, sf_dir), Q_PREFIX, _TOPK)
+    return res.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
 #: boolean gate clauses — head must + mid should + head must_not exercises
 #: intersection, score-only terms, and exclusion in one entry
 BOOL_MUST = "table scan"
@@ -746,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_long": _q_phrase_long,
         "phrase_count": _q_phrase_count,
         "near_topk": _q_near,
+        "prefix_topk": _q_prefix,
         "boolean_topk": _q_boolean,
         "boolean_should_topk": _q_boolean_should,
         "facet_role_counts": _q_facet_role,
@@ -807,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk_long": osql.phrase_topk_sql(Q_PHRASE_LONG, _TOPK),
         "phrase_count": osql.phrase_count_sql(Q_PHRASE),
         "near_topk": osql.near_topk_sql(Q_NEAR, NEAR_SLOP, _TOPK),
+        "prefix_topk": osql.prefix_topk_sql(Q_PREFIX, _TOPK),
         "boolean_topk": osql.boolean_topk_sql(
             BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, _TOPK
         ),

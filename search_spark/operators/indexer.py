@@ -444,9 +444,14 @@ def finalize(spark: SparkSession, store: IndexStore) -> dict:
         dictionary = dictionary.observe(
             obs, F.count(F.lit(1)).alias("vocab"), F.sum("df").alias("total")
         )
-        dictionary.repartition(store.term_buckets, "term_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("term_bucket").parquet(store.dictionary_path)
+        # sorted by term within each bucket: parquet row-group min/max
+        # stats then bound any term-range scan (prefix expansion,
+        # operators/prefix.py) to the groups that can contain the range
+        dictionary.repartition(store.term_buckets, "term_bucket").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+            store.dictionary_path
+        )
         dict_obs = obs.get
 
     payload_bytes = (

@@ -1,0 +1,69 @@
+"""Prefix (term-expansion) search over the persisted index.
+
+A fulltext engine needs `pref*` queries; the Spark-first construction is
+dictionary expansion → disjunctive BM25 over the expanded terms:
+
+1. **Expansion** — scan the dictionary with `startswith(term, prefix)`;
+   Spark pushes `StringStartsWith` into the parquet scan, and the
+   dictionary is written term-sorted within each term_bucket partition
+   (indexer.finalize), so row-group min/max stats bound the scan to the
+   groups intersecting the prefix range.  Expansion is capped at the top
+   ``max_expansions`` terms by (df DESC, term ASC) — the Lucene-style
+   "most frequent expansions" rule, deterministic and oracle-mirrorable.
+2. **Scoring** — the expanded terms feed the standard batch scorer
+   (wand.IndexReader.batch_search): pruned postings scan, one exchange,
+   per-bucket WAND/dense dispatch.  Each expanded term keeps its own idf
+   — a prefix query is exactly a disjunctive multi-term query.
+
+The reference has no prefix operator (its dictionary is an in-memory map,
+/root/reference/index.go); this is index-native functionality the Spark
+layout gives nearly for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..analyzer import tokenize
+
+#: cap on dictionary expansion — keeps the disjunctive query bounded no
+#: matter how head-heavy the prefix (e.g. "t") is
+MAX_EXPANSIONS = 64
+
+_EMPTY_SCHEMA = "doc_id bigint, rank int, score double"
+
+
+def expand_prefix(reader, prefix: str, max_expansions: int = MAX_EXPANSIONS) -> list[str]:
+    """The top ``max_expansions`` dictionary terms starting with
+    ``prefix`` (analyzer-normalized), by (df DESC, term ASC).  Driver-side
+    list — bounded by the cap, never corpus-sized."""
+    toks = tokenize(prefix)
+    if not toks:
+        return []
+    norm = toks[0]
+    rows = (
+        reader._dict_df.filter(F.col("term").startswith(norm))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def prefix_search(
+    reader, prefix: str, k: int = 10, max_expansions: int = MAX_EXPANSIONS
+) -> DataFrame:
+    """Top-k BM25 over all docs containing any expansion of ``prefix``:
+    (doc_id, rank, score), (score DESC, doc_id ASC).  Empty/OOV prefix or
+    k<=0 → 0 rows."""
+    spark = reader.spark
+    if k <= 0:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    terms = expand_prefix(reader, prefix, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    # expansions are analyzer tokens, so they round-trip through the
+    # batch scorer's tokenize unchanged
+    return reader.batch_search([("q", " ".join(terms))], k).drop("query_id")

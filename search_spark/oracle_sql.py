@@ -193,6 +193,49 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM hits"""
 
 
+def prefix_topk_sql(
+    prefix: str,
+    k: int,
+    max_expansions: int = 64,
+    docs_sql: str = DOCS_SQL,
+) -> str:
+    """Prefix search (operators/prefix.py twin): expand the prefix to the
+    top ``max_expansions`` corpus terms by (df DESC, term ASC), then
+    disjunctive BM25 over the expansions; output (doc_id, rank,
+    score_micro)."""
+    toks = tokenize(prefix)
+    if not toks:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, 1 AS rank, "
+            "CAST(NULL AS BIGINT) AS score_micro WHERE false"
+        )
+    norm = toks[0]
+    idf = sql_idf("stats.n_docs", "dft.df")
+    score = sql_term_score("tf.tf", "dl.dl", "stats.avgdl", idf)
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  q AS (
+    SELECT term FROM dft WHERE starts_with(term, '{norm}')
+    ORDER BY df DESC, term LIMIT {max_expansions}),
+  scored AS (
+    SELECT tf.doc_id, sum({score}) AS score
+    FROM tf
+    JOIN q USING (term)
+    JOIN dft USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id),
+  rounded AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+    FROM scored)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       score_micro
+FROM rounded
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
 def boolean_topk_sql(
     must: str = "",
     should: str = "",

@@ -233,7 +233,11 @@ def _install_dictionary(store: IndexStore, dictionary, folded_after: list[int], 
     tmp = store.dictionary_path + ".tmp"
     aside = store.dictionary_path + ".old"
     # same partitioned layout as the batch finalize (lookup pruning)
-    dictionary.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+    # term-sorted within each bucket like the batch finalize: keeps prefix
+    # range scans row-group-skippable after stream folds too
+    dictionary.repartition(store.term_buckets, "term_bucket").sortWithinPartitions(
+        "term"
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
     _write_fold_marker(tmp, folded_after, stats)
     shutil.rmtree(aside, ignore_errors=True)
     if os.path.exists(store.dictionary_path):

@@ -1,0 +1,92 @@
+"""Prefix search: oracle identity, expansion cap determinism, guards, and
+the dictionary scan's StartsWith pushdown."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from search_spark.corpus import transcripts_from_documents
+from search_spark.operators.indexer import build_index
+from search_spark.operators.prefix import expand_prefix, prefix_search
+from search_spark.operators.wand import IndexReader
+from search_spark.oracle_sql import prefix_topk_sql
+from search_spark.sources.index_store import IndexStore
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reader(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("prefix_idx"))
+    store = IndexStore(root, doc_bucket_size=128, term_buckets=8)
+    build_index(spark, transcripts_from_documents(spark, SF), store, n_units=2)
+    return IndexReader(spark, store)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("pref", ["or", "fa", "t", "s"])
+def test_prefix_matches_oracle(reader, ddb, pref):
+    got = [
+        (r["doc_id"], round(r["score"] * 1e6))
+        for r in prefix_search(reader, pref, 10).collect()
+    ]
+    want = [(r[0], r[2]) for r in ddb.execute(prefix_topk_sql(pref, 10)).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_prefix_expansion_cap(reader, ddb):
+    """Capped expansion must equal the oracle's (df DESC, term ASC) head."""
+    got = expand_prefix(reader, "s", max_expansions=3)
+    want = [
+        r[0]
+        for r in ddb.execute(
+            """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+             FROM read_parquet('/root/testdata/sf0.001/documents.parquet')),
+  tf AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+  dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+SELECT term FROM dft WHERE starts_with(term, 's') ORDER BY df DESC, term LIMIT 3"""
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 3
+    # capped search == uncapped-equivalent oracle with the same cap
+    g = [
+        (r["doc_id"], round(r["score"] * 1e6))
+        for r in prefix_search(reader, "s", 10, max_expansions=3).collect()
+    ]
+    w = [
+        (r[0], r[2])
+        for r in ddb.execute(prefix_topk_sql("s", 10, max_expansions=3)).fetchall()
+    ]
+    assert g == w
+
+
+def test_prefix_guards(reader):
+    assert prefix_search(reader, "zzq_nothing", 10).count() == 0
+    assert prefix_search(reader, "", 10).count() == 0
+    assert prefix_search(reader, "or", 0).count() == 0
+
+
+def test_prefix_dictionary_scan_pushes_startswith(reader):
+    from pyspark.sql import functions as F
+
+    plan = (
+        reader._dict_df.filter(F.col("term").startswith("or"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "StartsWith" in plan
