@@ -281,6 +281,38 @@ def _q_prefix(spark, sf_dir):
     )
 
 
+#: fuzzy gate query — two distance-1 typos of corpus terms (plain
+#: Levenshtein: transpositions like "tabel" cost 2, deletions cost 1)
+Q_FUZZY = "tble hashh"
+
+
+def _q_fuzzy(spark, sf_dir):
+    """Fuzzy search (operators/prefix.fuzzy_search): per-token Levenshtein
+    dictionary neighborhoods → disjunctive BM25."""
+    from search_spark.operators.prefix import fuzzy_search
+
+    res = fuzzy_search(_wand_reader(spark, sf_dir), Q_FUZZY, 1, _TOPK)
+    return res.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
+def _q_snippets(spark, sf_dir):
+    """Top-k with best-window highlights (operators/snippet.py)."""
+    from search_spark.operators.snippet import search_snippets
+
+    res = search_snippets(_wand_reader(spark, sf_dir), Q_MIX, _TOPK)
+    return res.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+        F.col("match_pos").cast("int").alias("match_pos"),
+        "snippet",
+    )
+
+
 #: boolean gate clauses — head must + mid should + head must_not exercises
 #: intersection, score-only terms, and exclusion in one entry
 BOOL_MUST = "table scan"
@@ -764,6 +796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_count": _q_phrase_count,
         "near_topk": _q_near,
         "prefix_topk": _q_prefix,
+        "fuzzy_topk": _q_fuzzy,
+        "snippet_topk": _q_snippets,
         "boolean_topk": _q_boolean,
         "boolean_should_topk": _q_boolean_should,
         "facet_role_counts": _q_facet_role,
@@ -826,6 +860,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_count": osql.phrase_count_sql(Q_PHRASE),
         "near_topk": osql.near_topk_sql(Q_NEAR, NEAR_SLOP, _TOPK),
         "prefix_topk": osql.prefix_topk_sql(Q_PREFIX, _TOPK),
+        "fuzzy_topk": osql.fuzzy_topk_sql(Q_FUZZY, 1, _TOPK),
+        "snippet_topk": osql.snippet_topk_sql(Q_MIX, _TOPK),
         "boolean_topk": osql.boolean_topk_sql(
             BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, _TOPK
         ),

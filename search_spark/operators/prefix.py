@@ -67,3 +67,59 @@ def prefix_search(
     # expansions are analyzer tokens, so they round-trip through the
     # batch scorer's tokenize unchanged
     return reader.batch_search([("q", " ".join(terms))], k).drop("query_id")
+
+
+#: per-token cap for fuzzy expansion (tighter than prefix: distance-1
+#: neighborhoods are small, distance-2 can explode on short tokens)
+MAX_FUZZY_EXPANSIONS = 16
+
+
+def expand_fuzzy(
+    reader, term: str, max_dist: int = 1, max_expansions: int = MAX_FUZZY_EXPANSIONS
+) -> list[str]:
+    """Dictionary terms within Levenshtein distance ``max_dist`` of
+    ``term`` (analyzer-normalized), top ``max_expansions`` by
+    (df DESC, term ASC).
+
+    The scan is a full-vocabulary predicate scan with a cheap
+    length-difference pre-filter — Levenshtein can't push into parquet,
+    but the dictionary is the metadata table (parallel, columnar, tiny
+    next to postings).  At extreme vocab scale an n-gram index over the
+    dictionary would pre-select candidates; not warranted here.
+    """
+    toks = tokenize(term)
+    if not toks:
+        return []
+    norm = toks[0]
+    rows = (
+        reader._dict_df.filter(
+            (F.abs(F.length("term") - F.lit(len(norm))) <= max_dist)
+            & (F.levenshtein(F.col("term"), F.lit(norm)) <= max_dist)
+        )
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(max_expansions)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def fuzzy_search(
+    reader,
+    query_text: str,
+    max_dist: int = 1,
+    k: int = 10,
+    max_expansions: int = MAX_FUZZY_EXPANSIONS,
+) -> DataFrame:
+    """Typo-tolerant top-k BM25: each query token expands to its
+    distance-``max_dist`` dictionary neighborhood (per-token cap), the
+    union scores as a disjunctive query.  (doc_id, rank, score)."""
+    spark = reader.spark
+    if k <= 0:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    expanded: set[str] = set()
+    for tok in sorted(set(tokenize(query_text))):
+        expanded.update(expand_fuzzy(reader, tok, max_dist, max_expansions))
+    if not expanded:
+        return spark.createDataFrame([], _EMPTY_SCHEMA)
+    return reader.batch_search([("q", " ".join(sorted(expanded)))], k).drop("query_id")

@@ -236,6 +236,108 @@ ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
 
 
+def snippet_topk_sql(
+    query_text: str, k: int, width: int = 5, docs_sql: str = DOCS_SQL
+) -> str:
+    """Snippet enrichment (operators/snippet.py twin): top-k BM25 plus the
+    2*width+1-token window centred on the first query-term occurrence
+    (analyzed token stream); output (doc_id, rank, score_micro,
+    match_pos, snippet)."""
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, 1 AS rank, "
+            "CAST(NULL AS BIGINT) AS score_micro, 0 AS match_pos, "
+            "CAST(NULL AS VARCHAR) AS snippet WHERE false"
+        )
+    positions = ", ".join(f"list_position(toks, '{t}')" for t in terms)
+    idf = sql_idf("stats.n_docs", "dft.df")
+    score = sql_term_score("tf.tf", "dl.dl", "stats.avgdl", idf)
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  q AS (SELECT term FROM {_values_terms(terms)}),
+  scored AS (
+    SELECT tf.doc_id, sum({score}) AS score
+    FROM tf
+    JOIN q USING (term)
+    JOIN dft USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id),
+  rounded AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+    FROM scored),
+  top AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+           score_micro
+    FROM rounded
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {k}),
+  enriched AS (
+    SELECT top.doc_id, top.rank, top.score_micro,
+           CAST(coalesce(list_min(list_filter([{positions}],
+                                              x -> x > 0)), 0) AS INT)
+             AS match_pos
+    FROM top JOIN tok ON tok.doc_id = top.doc_id)
+SELECT enriched.doc_id, rank, score_micro, match_pos,
+       array_to_string(
+         list_slice(toks,
+                    greatest(match_pos - {width}, 1),
+                    greatest(match_pos - {width}, 1) + {2 * width}),
+         ' ') AS snippet
+FROM enriched JOIN tok ON tok.doc_id = enriched.doc_id
+ORDER BY rank"""
+
+
+def fuzzy_topk_sql(
+    query_text: str,
+    max_dist: int = 1,
+    k: int = 10,
+    max_expansions: int = 16,
+    docs_sql: str = DOCS_SQL,
+) -> str:
+    """Fuzzy search (operators/prefix.fuzzy_search twin): each query token
+    expands to its Levenshtein-distance-``max_dist`` corpus-term
+    neighborhood capped per token at (df DESC, term ASC); the distinct
+    union scores disjunctively; output (doc_id, rank, score_micro)."""
+    toks = sorted(set(tokenize(query_text)))
+    if not toks:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, 1 AS rank, "
+            "CAST(NULL AS BIGINT) AS score_micro WHERE false"
+        )
+    per_tok = "\n    UNION ALL\n".join(
+        f"""(SELECT term FROM dft
+      WHERE abs(length(term) - {len(t)}) <= {max_dist}
+        AND levenshtein(term, '{t}') <= {max_dist}
+      ORDER BY df DESC, term LIMIT {max_expansions})"""
+        for t in toks
+    )
+    idf = sql_idf("stats.n_docs", "dft.df")
+    score = sql_term_score("tf.tf", "dl.dl", "stats.avgdl", idf)
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  q AS (SELECT DISTINCT term FROM ({per_tok})),
+  scored AS (
+    SELECT tf.doc_id, sum({score}) AS score
+    FROM tf
+    JOIN q USING (term)
+    JOIN dft USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id),
+  rounded AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+    FROM scored)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       score_micro
+FROM rounded
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
 def boolean_topk_sql(
     must: str = "",
     should: str = "",

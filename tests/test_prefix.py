@@ -12,9 +12,15 @@ sys.path.insert(0, "/root/repo")
 
 from search_spark.corpus import transcripts_from_documents
 from search_spark.operators.indexer import build_index
-from search_spark.operators.prefix import expand_prefix, prefix_search
+from search_spark.operators.prefix import (
+    expand_fuzzy,
+    expand_prefix,
+    fuzzy_search,
+    prefix_search,
+)
+from search_spark.operators.snippet import search_snippets
 from search_spark.operators.wand import IndexReader
-from search_spark.oracle_sql import prefix_topk_sql
+from search_spark.oracle_sql import fuzzy_topk_sql, prefix_topk_sql, snippet_topk_sql
 from search_spark.sources.index_store import IndexStore
 
 SF = "/root/testdata/sf0.001"
@@ -78,6 +84,66 @@ def test_prefix_guards(reader):
     assert prefix_search(reader, "zzq_nothing", 10).count() == 0
     assert prefix_search(reader, "", 10).count() == 0
     assert prefix_search(reader, "or", 0).count() == 0
+
+
+@pytest.mark.parametrize("q,dist", [("ordr", 1), ("fasst scen", 1), ("tble", 2)])
+def test_fuzzy_matches_oracle(reader, ddb, q, dist):
+    got = [
+        (r["doc_id"], round(r["score"] * 1e6))
+        for r in fuzzy_search(reader, q, dist, 10).collect()
+    ]
+    want = [(r[0], r[2]) for r in ddb.execute(fuzzy_topk_sql(q, dist, 10)).fetchall()]
+    assert got == want and len(got) > 0
+
+
+def test_fuzzy_expansion_and_guards(reader):
+    assert expand_fuzzy(reader, "ordr") == ["order"]
+    assert expand_fuzzy(reader, "") == []
+    assert fuzzy_search(reader, "zzzzzz", 1, 10).count() == 0
+    assert fuzzy_search(reader, "ordr", 1, 0).count() == 0
+    # exact terms are within distance 0 of themselves
+    assert fuzzy_search(reader, "order", 0, 5).count() == 5
+
+
+@pytest.mark.parametrize("q", ["order fast", "the"])
+def test_snippets_match_oracle(reader, ddb, q):
+    got = [
+        (r["doc_id"], r["rank"], round(r["score"] * 1e6), r["match_pos"], r["snippet"])
+        for r in search_snippets(reader, q, 5).collect()
+    ]
+    want = [tuple(r) for r in ddb.execute(snippet_topk_sql(q, 5)).fetchall()]
+    assert got == want and len(got) == 5
+
+
+def test_snippet_window_semantics(reader):
+    """Every snippet contains ≥1 query term and ≤ 2*width+1 tokens; the
+    match position is the analyzed-stream first occurrence."""
+    rows = search_snippets(reader, "order fast", 10, width=2).collect()
+    assert len(rows) == 10
+    for r in rows:
+        toks = r["snippet"].split(" ")
+        assert len(toks) <= 5
+        assert ("order" in toks) or ("fast" in toks)
+        assert r["match_pos"] >= 1
+
+
+def test_snippet_multi_term_partial_presence(reader, ddb):
+    """Hits that contain only a subset of the query terms still get the
+    right first-occurrence window (regression: the oracle's list_position
+    returns 0 for absent terms, which must not win the min)."""
+    q = "order fast scan"
+    got = [
+        (r["doc_id"], r["rank"], round(r["score"] * 1e6), r["match_pos"], r["snippet"])
+        for r in search_snippets(reader, q, 10).collect()
+    ]
+    want = [tuple(r) for r in ddb.execute(snippet_topk_sql(q, 10)).fetchall()]
+    assert got == want and all(g[3] >= 1 for g in got)
+
+
+def test_snippet_guards(reader):
+    assert search_snippets(reader, "zzq_oov", 10).count() == 0
+    assert search_snippets(reader, "", 10).count() == 0
+    assert search_snippets(reader, "order", 0).count() == 0
 
 
 def test_prefix_dictionary_scan_pushes_startswith(reader):
