@@ -223,6 +223,40 @@ def run_default(spark, sf_dir: str) -> dict:
             "batch_all": round(cbatch_s, 4),
             "match_rate": oracle_match_rate(cresults, dq, sf_dir),
         }
+        # fulltext-extension phase (round 3): phrase / proximity / boolean /
+        # prefix / fuzzy / snippet over the live (compacted) reader.
+        # Separate field — headline stays round-over-round comparable.
+        from search_spark.operators.boolean import boolean_search, facet_counts
+        from search_spark.operators.phrase import near_search, phrase_search
+        from search_spark.operators.prefix import fuzzy_search, prefix_search
+        from search_spark.operators.snippet import search_snippets
+
+        ft = {}
+        s0 = cpu_steal_sample()
+        t0 = time.perf_counter()
+        phrase_search(reader, "table hash", TOPK).count()
+        ft["phrase"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        near_search(reader, "table hash", 3, TOPK).count()
+        ft["near"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        boolean_search(reader, "table scan", "filter hash", "order", TOPK).count()
+        ft["boolean"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        prefix_search(reader, "fi", TOPK).count()
+        ft["prefix"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        fuzzy_search(reader, "tble hashh", 1, TOPK).count()
+        ft["fuzzy"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        search_snippets(reader, "table hash scan", TOPK).count()
+        ft["snippet"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        facet_counts(reader, "table scan", facet="role").count()
+        ft["facets"] = round(time.perf_counter() - t0, 4)
+        steal["fulltext"] = steal_frac(s0, cpu_steal_sample())
+        out["_fulltext"] = ft
+
         # hypervisor noise per phase: lets a reader of one checked-in run
         # tell a slow engine from a stolen VM (0-30% observed minute-to-minute)
         out["_steal"] = steal
@@ -325,6 +359,7 @@ def main_default() -> None:
         "match_rate": times["_match_rate"],
         "pipeline_secs": times["_pipeline"],
         "compacted": times["_compacted"],
+        "fulltext_secs": times.get("_fulltext", {}),
         "steal": times.get("_steal", {}),
         "cpus": int(CPUS),
     }
