@@ -8,6 +8,10 @@ loop, top-10 search, results rendered in relevance buckets).
 Commands: a query per line; ``:refresh`` re-opens the store's current
 snapshot (picks up new stream segments); ``:quit`` / EOF exits.
 
+Query syntax (search_spark/query_syntax.py): ``"exact phrase"``,
+``"near terms"~3``, ``+must -not should``, ``pref*``, ``term~2`` — any
+other line is a plain BM25 query.
+
 Relevance buckets mirror example/main.go:44-54's ≥0.85 / ≥0.5 cut, applied
 to the score normalized by the batch's best hit (BM25 is unbounded, unlike
 cosine, so the bucket thresholds are relative to the top score).
@@ -17,6 +21,8 @@ from __future__ import annotations
 
 import argparse
 import sys
+
+from pyspark.sql import functions as F
 
 
 def _bucket(rel: float) -> str:
@@ -62,9 +68,13 @@ def main() -> None:
             reader.refresh()
             print(f"refreshed: {reader.stats['n_docs']} docs")
             continue
-        rows = reader.rehydrate(reader.batch_search([("q", line)], args.k)).orderBy(
-            "rank"
-        ).collect()
+        from search_spark.query_syntax import run_query
+
+        rows = (
+            reader.rehydrate(run_query(reader, line, args.k))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        )
         if not rows:
             print("  (no hits)")
             continue

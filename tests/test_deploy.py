@@ -151,7 +151,7 @@ def test_submit_build_then_query(tmp_path):
             "-k", "3",
             "--master", "local[4]",
         ],
-        input="the fast scan\n:refresh\nmerge window\n:quit\n",
+        input='the fast scan\n:refresh\n"fast scan"\n+merge -the window\nfas*\nmerge window\n:quit\n',
         capture_output=True,
         text=True,
         env=env,
@@ -159,4 +159,4 @@ def test_submit_build_then_query(tmp_path):
     )
     assert repl.returncode == 0, repl.stderr[-2000:]
     assert "★" in repl.stdout and "refreshed:" in repl.stdout
-    assert repl.stdout.count("search>") >= 4
+    assert repl.stdout.count("search>") >= 7  # incl. phrase/boolean/prefix syntax
