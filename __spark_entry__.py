@@ -360,6 +360,29 @@ def _q_facet_role(spark, sf_dir):
     return facet_counts(_wand_reader(spark, sf_dir), BOOL_MUST, facet="role", mode="any")
 
 
+#: context-window budget for the packing gate entries
+PACK_BUDGET = 256
+
+
+def _q_pack_assignments(spark, sf_dir):
+    """Training-sequence packing (operators/packing.py): per-turn global
+    token-offset chunking under the stable (conv_id, turn_idx) order."""
+    from search_spark.operators.packing import pack_sequences
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return pack_sequences(tr, PACK_BUDGET).select(
+        "conv_id", "turn_idx", "n_tokens", "start_offset", "seq_id", "spans_boundary"
+    )
+
+
+def _q_pack_summary(spark, sf_dir):
+    """Per-sequence rollup of the packing assignment."""
+    from search_spark.operators.packing import pack_sequences, pack_summary
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return pack_summary(pack_sequences(tr, PACK_BUDGET), PACK_BUDGET)
+
+
 _COMPACT_CACHE: dict[str, object] = {}
 
 
@@ -801,6 +824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_topk": _q_boolean,
         "boolean_should_topk": _q_boolean_should,
         "facet_role_counts": _q_facet_role,
+        "pack_assignments": _q_pack_assignments,
+        "pack_summary": _q_pack_summary,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -873,6 +898,8 @@ def oracle_sql() -> dict[str, str]:
             f"CASE WHEN (doc_id % {TURNS_PER_CONV}) % 2 = 0 "
             "THEN 'user' ELSE 'assistant' END",
         ),
+        "pack_assignments": osql.pack_assignments_sql(PACK_BUDGET),
+        "pack_summary": osql.pack_summary_sql(PACK_BUDGET),
         "dedup_exact": osp.dedup_exact_sql(),
         "dedup_minhash_lsh": osp.minhash_lsh_sql(),
         "dedup_ngram_jaccard": osp.ngram_jaccard_sql(),

@@ -1,0 +1,104 @@
+"""Training-sequence packing: global token-offset chunking of transcripts.
+
+LLM training pipelines concatenate the corpus token stream in a stable
+document order and cut it into fixed-budget context windows; each turn
+lands in the window its first token falls in.  This is the packing rule
+that needs no per-chunk state, so it is exactly computable at any scale
+AND exactly mirrorable in SQL (the greedy reset-per-chunk variant needs
+recursion; this is the standard high-throughput form).
+
+Definition, under the stable total order ``(conv_id, turn_idx)`` (the
+engine's docID order, operators/docids.py):
+
+- ``n_tokens``       = analyzer token count of the turn
+- ``start_offset``   = exclusive prefix sum of ``n_tokens``
+- ``seq_id``         = start_offset // budget
+- ``spans_boundary`` = the turn's tokens cross a budget multiple
+
+Scale plan: the same two-phase global prefix sum as docID assignment —
+``repartitionByRange`` on the order, per-partition token sums (P rows to
+the driver), cumulative bases broadcast, then a partition-local window.
+No global single-partition window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analyzer import tokens_col
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every turn to its training sequence: input columns plus
+    ``n_tokens``, ``start_offset``, ``seq_id``, ``spans_boundary``.
+
+    ``budget`` is the context-window token budget (> 0)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    with_n = df.withColumn("n_tokens", F.size(tokens_col("text")).cast("bigint"))
+    ranged = with_n.repartitionByRange(p, *[F.col(c) for c in order_cols])
+
+    # two-phase exclusive prefix sum (docids.assign_doc_ids doctrine): the
+    # ranged layout is persisted so the sum job and the window job observe
+    # the same sampled boundaries
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    try:
+        sums = with_pid.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+        by_pid = {r["_pid"]: int(r["s"] or 0) for r in sums}
+        bases, acc = {}, 0
+        for pid in sorted(by_pid):
+            bases[pid] = acc
+            acc += by_pid[pid]
+        base_map = (
+            F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
+            if bases
+            else F.create_map()
+        )
+        w = Window.partitionBy("_pid").orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+        start = (
+            F.sum("n_tokens").over(w) - F.col("n_tokens")
+            + F.element_at(base_map, F.col("_pid"))
+        ).cast("bigint")
+        # `div` (exact integer division) — float division would misround
+        # offsets once the global token count passes 2^53
+        out = (
+            with_pid.withColumn("start_offset", start)
+            .withColumn("seq_id", F.expr(f"start_offset div {int(budget)}"))
+            .withColumn(
+                "spans_boundary",
+                (F.col("n_tokens") > 0)
+                & (
+                    F.expr(f"(start_offset + n_tokens - 1) div {int(budget)}")
+                    != F.col("seq_id")
+                ),
+            )
+            .drop("_pid")
+        )
+        # materialization contract mirrors assign_doc_ids: the caller gets
+        # a plan over the persisted ranged layout; checkpointing/writing it
+        # releases the cache naturally at job end
+        return out
+    except Exception:
+        with_pid.unpersist()
+        raise
+
+
+def pack_summary(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-sequence rollup: (seq_id, n_turns, seq_tokens, n_spanning).
+    seq_tokens counts tokens STARTING in the sequence, so it sums to the
+    corpus total and is budget-bounded except for boundary-spanning
+    tails."""
+    return packed.groupBy("seq_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        F.sum(F.col("spans_boundary").cast("int")).cast("bigint").alias("n_spanning"),
+    )

@@ -479,6 +479,54 @@ def transcripts_docs_sql() -> str:
   FROM ({SQL_TRANSCRIPTS_FROM_DOCUMENTS})"""
 
 
+def _pack_ctes(budget: int) -> str:
+    """Shared CTEs for the packing oracles (operators/packing.py twin):
+    transcript order (conv_id, turn_idx), analyzer token counts, exclusive
+    prefix sum, integer-division sequence assignment."""
+    from .corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS
+
+    return f"""
+  tr AS ({SQL_TRANSCRIPTS_FROM_DOCUMENTS}),
+  t AS (SELECT conv_id, turn_idx,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+        FROM tr),
+  c AS (SELECT conv_id, turn_idx, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                 ORDER BY conv_id, turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS start_offset
+        FROM t),
+  assigned AS (
+    SELECT conv_id, turn_idx, n_tokens, start_offset,
+           start_offset // {budget} AS seq_id,
+           (n_tokens > 0 AND
+            (start_offset + n_tokens - 1) // {budget} != start_offset // {budget})
+             AS spans_boundary
+    FROM c)"""
+
+
+def pack_assignments_sql(budget: int) -> str:
+    """Per-turn packing assignment: (conv_id, turn_idx, n_tokens,
+    start_offset, seq_id, spans_boundary)."""
+    return f"""
+WITH {_pack_ctes(budget)}
+SELECT conv_id, turn_idx, n_tokens, start_offset,
+       CAST(seq_id AS BIGINT) AS seq_id, spans_boundary
+FROM assigned"""
+
+
+def pack_summary_sql(budget: int) -> str:
+    """Per-sequence rollup: (seq_id, n_turns, seq_tokens, n_spanning)."""
+    return f"""
+WITH {_pack_ctes(budget)}
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       CAST(sum(CASE WHEN spans_boundary THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+FROM assigned
+GROUP BY seq_id"""
+
+
 def doc_ids_stable_sql() -> str:
     from .corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS
 
