@@ -383,6 +383,32 @@ def _q_pack_summary(spark, sf_dir):
     return pack_summary(pack_sequences(tr, PACK_BUDGET), PACK_BUDGET)
 
 
+#: sampling rate for the hash-sample gate entry
+SAMPLE_RATE = 0.2
+
+
+def _q_split_assignments(spark, sf_dir):
+    """Deterministic conversation-coherent splits (operators/splits.py)."""
+    from search_spark.operators.splits import assign_splits
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return assign_splits(tr).select("conv_id", "split").distinct()
+
+
+def _q_split_summary(spark, sf_dir):
+    from search_spark.operators.splits import split_summary
+
+    return split_summary(transcripts_from_documents(spark, sf_dir))
+
+
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic keyed sampling (superset-stable across rates)."""
+    from search_spark.operators.splits import hash_sample
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return hash_sample(tr, SAMPLE_RATE).select("conv_id", "turn_idx")
+
+
 _COMPACT_CACHE: dict[str, object] = {}
 
 
@@ -425,6 +451,7 @@ def _q_wand_compacted(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from search_spark import oracle_sql_pipeline as osp  # noqa: E402
+from search_spark.operators import splits as _splits  # noqa: E402
 from search_spark.functions import stats as stats_sql  # noqa: E402
 from search_spark.operators import dedup as dd  # noqa: E402
 from search_spark.operators import media as md  # noqa: E402
@@ -826,6 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_role_counts": _q_facet_role,
         "pack_assignments": _q_pack_assignments,
         "pack_summary": _q_pack_summary,
+        "split_assignments": _q_split_assignments,
+        "split_summary": _q_split_summary,
+        "hash_sample": _q_hash_sample,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -900,6 +930,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_assignments": osql.pack_assignments_sql(PACK_BUDGET),
         "pack_summary": osql.pack_summary_sql(PACK_BUDGET),
+        "split_assignments": osql.split_assignments_sql(
+            _splits.DEFAULT_WEIGHTS, _splits.DEFAULT_SALT
+        ),
+        "split_summary": osql.split_summary_sql(
+            _splits.DEFAULT_WEIGHTS, _splits.DEFAULT_SALT
+        ),
+        "hash_sample": osql.hash_sample_sql(SAMPLE_RATE, "sample/v1"),
         "dedup_exact": osp.dedup_exact_sql(),
         "dedup_minhash_lsh": osp.minhash_lsh_sql(),
         "dedup_ngram_jaccard": osp.ngram_jaccard_sql(),

@@ -527,6 +527,62 @@ FROM assigned
 GROUP BY seq_id"""
 
 
+def _split_case_sql(key_expr: str, weights: dict[str, float], salt: str) -> str:
+    """CASE expression mirroring operators/splits.split_col exactly:
+    h32(salt||key) against integer thresholds floor(cum_weight * 2^32)."""
+    from .functions.hashing import h32_sql
+    from .operators.splits import _thresholds
+
+    h = h32_sql(f"'{salt}' || CAST({key_expr} AS VARCHAR)")
+    ths = _thresholds(weights)
+    whens = "\n         ".join(
+        f"WHEN {h} < {t} THEN '{name}'" for name, t in ths
+    )
+    return f"CASE {whens} END"
+
+
+def split_summary_sql(weights: dict[str, float], salt: str) -> str:
+    """(split, n_convs, n_turns, n_tokens) over the transcript corpus,
+    keyed on conv_id (operators/splits.assign_splits twin)."""
+    from .corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS
+
+    case = _split_case_sql("conv_id", weights, salt)
+    return f"""
+WITH tr AS ({SQL_TRANSCRIPTS_FROM_DOCUMENTS}),
+  assigned AS (
+    SELECT conv_id, {case} AS split,
+           CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+    FROM tr)
+SELECT split,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned
+GROUP BY split"""
+
+
+def split_assignments_sql(weights: dict[str, float], salt: str) -> str:
+    """(conv_id, split) — one row per conversation."""
+    from .corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS
+
+    case = _split_case_sql("conv_id", weights, salt)
+    return f"""
+WITH tr AS ({SQL_TRANSCRIPTS_FROM_DOCUMENTS})
+SELECT DISTINCT conv_id, {case} AS split FROM tr"""
+
+
+def hash_sample_sql(rate: float, salt: str) -> str:
+    """Sampled (conv_id, turn_idx) rows (operators/splits.hash_sample
+    twin): h32(salt||conv_id) < floor(rate * 2^32)."""
+    from .corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS
+    from .functions.hashing import h32_sql
+
+    h = h32_sql(f"'{salt}' || CAST(conv_id AS VARCHAR)")
+    return f"""
+WITH tr AS ({SQL_TRANSCRIPTS_FROM_DOCUMENTS})
+SELECT conv_id, turn_idx FROM tr WHERE {h} < {int(rate * 2**32)}"""
+
+
 def doc_ids_stable_sql() -> str:
     from .corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS
 
