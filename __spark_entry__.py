@@ -409,6 +409,27 @@ def _q_hash_sample(spark, sf_dir):
     return hash_sample(tr, SAMPLE_RATE).select("conv_id", "turn_idx")
 
 
+#: decontamination gate config: eval suite = every 97th doc (deterministic,
+#: guarantees self-hits), trigram shingles with a 3-hit threshold so
+#: cross-document template overlap shows up too
+DECONTAM_EVAL_SQL = "SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 97 = 0"
+DECONTAM_GATE_W = 3
+DECONTAM_GATE_HITS = 3
+
+
+def _q_contamination(spark, sf_dir):
+    """Eval-overlap decontamination (operators/decontam.py)."""
+    from search_spark.operators.decontam import contamination_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    return contamination_report(
+        docs, eval_df, DECONTAM_GATE_W, DECONTAM_GATE_HITS
+    )
+
+
 _COMPACT_CACHE: dict[str, object] = {}
 
 
@@ -853,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_role_counts": _q_facet_role,
         "pack_assignments": _q_pack_assignments,
         "pack_summary": _q_pack_summary,
+        "contamination_report": _q_contamination,
         "split_assignments": _q_split_assignments,
         "split_summary": _q_split_summary,
         "hash_sample": _q_hash_sample,
@@ -930,6 +952,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_assignments": osql.pack_assignments_sql(PACK_BUDGET),
         "pack_summary": osql.pack_summary_sql(PACK_BUDGET),
+        "contamination_report": osp.contamination_sql(
+            DECONTAM_EVAL_SQL, DECONTAM_GATE_W, DECONTAM_GATE_HITS
+        ),
         "split_assignments": osql.split_assignments_sql(
             _splits.DEFAULT_WEIGHTS, _splits.DEFAULT_SALT
         ),

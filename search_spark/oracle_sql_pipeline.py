@@ -49,6 +49,36 @@ def _shingles(toks: str) -> str:
     )
 
 
+def _shingles_w(toks: str, w: int) -> str:
+    """Arbitrary-width shingle fragment (the w=3 `_shingles` twin)."""
+    joined = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(w))
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - {w - 1}), "
+        f"i -> {joined}))"
+    )
+
+
+def contamination_sql(
+    eval_sql: str,
+    w: int = 8,
+    min_hits: int = 1,
+    docs_sql: str = DOCS_SQL,
+) -> str:
+    """Decontamination twin (operators/decontam.contamination_report):
+    (doc_id, eval_id, n_shared) over distinct w-gram shingles.
+    ``eval_sql`` must yield (eval_id, text)."""
+    toks = sql_tokens("text")
+    return f"""
+WITH docs AS ({docs_sql}),
+  ev AS ({eval_sql}),
+  dsh AS (SELECT doc_id, unnest({_shingles_w(toks, w)}) AS shingle FROM docs),
+  esh AS (SELECT eval_id, unnest({_shingles_w(toks, w)}) AS shingle FROM ev)
+SELECT dsh.doc_id, esh.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM dsh JOIN esh USING (shingle)
+GROUP BY dsh.doc_id, esh.eval_id
+HAVING count(*) >= {min_hits}"""
+
+
 def _shingle_ctes(docs_sql: str = DOCS_SQL) -> str:
     toks = sql_tokens("text")
     return f"""
