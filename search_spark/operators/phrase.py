@@ -191,12 +191,15 @@ def _pseudo_term_search(reader, terms: list[str], tf_builder, k: int) -> DataFra
         return spark.createDataFrame([], _EMPTY_SCHEMA)
     cands = cands.cache()
     try:
-        n_cand = cands.count()
+        # ONE job yields both the candidate count and the bucket list
+        # (phrase queries are multi-job by nature; don't add more)
+        per_bucket = cands.groupBy("doc_bucket").count().collect()
+        n_cand = sum(int(r["count"]) for r in per_bucket)
         if n_cand == 0:
             return spark.createDataFrame([], _EMPTY_SCHEMA)
         # docs scan pruned to the units that contain candidates (unit is
         # the staged layout's partition dir = pmod(doc_bucket, n_units))
-        buckets = [int(r["doc_bucket"]) for r in cands.select("doc_bucket").distinct().collect()]
+        buckets = [int(r["doc_bucket"]) for r in per_bucket]
         docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
         cand_ids = cands.select("doc_id")
         if n_cand <= BROADCAST_CANDIDATES_MAX:
