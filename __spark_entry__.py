@@ -430,6 +430,63 @@ def _q_contamination(spark, sf_dir):
     )
 
 
+#: delete gate set — every 7th doc (mod 3): dense enough to intersect any
+#: top-10, pure function of doc_id so the oracle inlines it
+def _delete_ids(sf_dir: str) -> list[int]:
+    import duckdb as _dd
+
+    n = _dd.sql(
+        f"SELECT max(doc_id) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    return [d for d in range(int(n) + 1) if d % 7 == 3]
+
+
+_DELETE_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _deleted_reader(spark: SparkSession, sf_dir: str, purge: bool):
+    """Dedicated store exercising the delete path: tombstoned (logical)
+    or compacted-after-delete (physical purge)."""
+    from search_spark.operators.compact import compact_index
+    from search_spark.operators.indexer import build_index
+    from search_spark.operators.wand import IndexReader
+    from search_spark.sources.index_store import IndexStore
+
+    key = (sf_dir, "purge" if purge else "tomb")
+    if key not in _DELETE_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="search_spark_didx_")
+        store = IndexStore(root, doc_bucket_size=2048, term_buckets=8)
+        build_index(spark, transcripts_from_documents(spark, sf_dir), store, n_units=2)
+        store.delete_docs(_delete_ids(sf_dir))
+        if purge:
+            compact_index(spark, store)
+        _DELETE_CACHE[key] = IndexReader(spark, store)
+    return _DELETE_CACHE[key]
+
+
+def _q_bm25_tombstoned(spark, sf_dir):
+    """Logical delete: tombstoned docs excluded, physical stats kept."""
+    res = _deleted_reader(spark, sf_dir, purge=False).batch_search([("q", Q_MIX)], _TOPK)
+    return res.drop("query_id").select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
+def _q_bm25_purged(spark, sf_dir):
+    """Physical delete: compaction purged the postings, stats + dictionary
+    rebuilt over the reduced corpus."""
+    res = _deleted_reader(spark, sf_dir, purge=True).batch_search([("q", Q_MIX)], _TOPK)
+    return res.drop("query_id").select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
 _COMPACT_CACHE: dict[str, object] = {}
 
 
@@ -874,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_role_counts": _q_facet_role,
         "pack_assignments": _q_pack_assignments,
         "pack_summary": _q_pack_summary,
+        "bm25_tombstoned": _q_bm25_tombstoned,
+        "bm25_purged": _q_bm25_purged,
         "contamination_report": _q_contamination,
         "split_assignments": _q_split_assignments,
         "split_summary": _q_split_summary,
@@ -952,6 +1011,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_assignments": osql.pack_assignments_sql(PACK_BUDGET),
         "pack_summary": osql.pack_summary_sql(PACK_BUDGET),
+        "bm25_tombstoned": osql.bm25_topk_excluding_sql(
+            Q_MIX, _TOPK, "doc_id % 7 = 3"
+        ),
+        "bm25_purged": osql.bm25_topk_sql(
+            Q_MIX, _TOPK, docs_sql=osql.docs_sql_excluding("doc_id % 7 = 3")
+        ),
         "contamination_report": osp.contamination_sql(
             DECONTAM_EVAL_SQL, DECONTAM_GATE_W, DECONTAM_GATE_HITS
         ),

@@ -78,6 +78,7 @@ def matching_doc_ids(reader, terms: list[str], mode: str = "all") -> DataFrame |
     blocks = reader.candidate_blocks(live, [b for _, b in dict_rows.values()])
     n_terms = len(live)
     conj = mode == "all"
+    deleted = getattr(reader, "deleted", frozenset()) or None
 
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
         per_term = [
@@ -95,6 +96,8 @@ def matching_doc_ids(reader, terms: list[str], mode: str = "all") -> DataFrame |
                         break
         else:
             acc = np.unique(np.concatenate(per_term))
+        if deleted and acc.shape[0]:
+            acc = acc[~np.isin(acc, np.fromiter(deleted, dtype=np.int64))]
         return pd.DataFrame(
             {
                 "doc_bucket": np.full(acc.shape[0], int(pdf["doc_bucket"].iloc[0]), dtype=np.int32),
@@ -149,6 +152,7 @@ def boolean_search(
     idf_b = {t: idf for t, (idf, _) in dict_rows.items() if t in scoring}
     n_must = len(must_live)
     must_set, mnot_set = set(must_live), set(mnot_live)
+    deleted = getattr(reader, "deleted", frozenset()) or None
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {t: _decode_term(g) for t, g in pdf.groupby("term")}
@@ -172,6 +176,8 @@ def boolean_search(
             excl = [by_term[t][0] for t in mnot_live if t in by_term]
             if excl:
                 cand = cand[~np.isin(cand, np.concatenate(excl), assume_unique=False)]
+        if deleted and cand.shape[0]:
+            cand = cand[~np.isin(cand, np.fromiter(deleted, dtype=np.int64))]
         if cand.shape[0] == 0:
             return pd.DataFrame(columns=["doc_id", "score"])
         # BM25 over scoring terms, ascending term order, accumulated by

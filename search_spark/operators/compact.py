@@ -45,14 +45,18 @@ from ..sources.index_store import IndexStore
 from .indexer import POSTING_SCHEMA
 
 
-def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _merge_partition(
+    batches: Iterator[pd.DataFrame], purge: np.ndarray | None = None
+) -> Iterator[pd.DataFrame]:
     """Re-block a sorted stream of posting blocks.
 
     Input partition is hash-partitioned by term_bucket and sorted by
     (term, doc_bucket, first_doc); a (term, doc_bucket) run may be split
     across Arrow batches, so the trailing run is carried like the encoder's.
     Full blocks pass through untouched (no decode); only runs containing
-    under-filled blocks are decoded and re-encoded.
+    under-filled blocks — or, when ``purge`` (a SORTED int64 array of
+    tombstoned doc_ids) is given, runs whose doc range intersects it — are
+    decoded, filtered, and re-encoded.
     """
 
     carry: pd.DataFrame | None = None
@@ -68,10 +72,18 @@ def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             run = pdf.iloc[s:e]
             n_blocks = e - s
             full = (run["n_docs"].to_numpy()[:-1] >= codec.BLOCK_SIZE).all() if n_blocks > 1 else True
-            if full:
+            hit = False
+            if purge is not None and purge.shape[0]:
+                lo = int(run["first_doc"].min())
+                hi = int(run["last_doc"].max())
+                hit = bool(
+                    np.searchsorted(purge, lo, "left")
+                    < np.searchsorted(purge, hi, "right")
+                )
+            if full and not hit:
                 out_rows.append(run)
                 continue
-            # decode the whole run, re-encode densely
+            # decode the whole run, (purge-)filter, re-encode densely
             docs_l, tfs_l, dls_l = [], [], []
             for row in run.itertuples(index=False):
                 d, t, dl = codec.decode_block(row._asdict())
@@ -81,6 +93,11 @@ def _merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             d = np.concatenate(docs_l)
             t = np.concatenate(tfs_l)
             dl = np.concatenate(dls_l)
+            if hit:
+                keep = ~np.isin(d, purge, assume_unique=True)
+                d, t, dl = d[keep], t[keep], dl[keep]
+                if d.shape[0] == 0:
+                    continue  # the whole run was tombstoned
             # avgdl only feeds the diagnostic block_max_raw; bounds used at
             # query time derive from (max_tf, min_dl) — any positive value ok
             blocks = codec.make_blocks(d, t, dl, avgdl=1.0)
@@ -147,11 +164,32 @@ def _compact_index_locked(spark: SparkSession, store: IndexStore) -> dict:
     posts = reader._posts_df  # term_bucket present from partition discovery
     n_parts = max(2, spark.sparkContext.defaultParallelism)
 
+    # PURGE: tombstoned docs are physically removed during the merge.
+    # Capture the tombstone FILES now — a delete landing mid-compaction
+    # stays on disk for the next one (only consumed files are cleared).
+    tomb_dir = store.tombstones_path()
+    tomb_files = (
+        sorted(f for f in os.listdir(tomb_dir) if f.endswith(".json"))
+        if os.path.exists(tomb_dir)
+        else []
+    )
+    deleted = store.tombstones() if tomb_files else frozenset()
+    purge_arr = (
+        np.fromiter(sorted(deleted), dtype=np.int64, count=len(deleted))
+        if deleted
+        else None
+    )
+
+    import functools
+
     merged = (
         posts.repartition(n_parts, "term_bucket")
         .sortWithinPartitions("term", "doc_bucket", "first_doc")
         .drop("term_bucket")
-        .mapInPandas(_merge_partition, schema=POSTING_SCHEMA)
+        .mapInPandas(
+            functools.partial(_merge_partition, purge=purge_arr),
+            schema=POSTING_SCHEMA,
+        )
         .withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")
         )
@@ -174,6 +212,59 @@ def _compact_index_locked(spark: SparkSession, store: IndexStore) -> dict:
         .agg(F.count("*").alias("blocks"), F.sum("n_docs").alias("postings"))
         .collect()[0]
     )
+
+    # purge bookkeeping: new corpus stats (only EXISTING deleted docs
+    # subtract) and a rebuilt dictionary over the purged postings, staged
+    # before the commit.  The purge is not atomic across postings+
+    # dictionary+stats — but tombstones are cleared LAST, so at every
+    # crash point results still exclude the deleted docs, and a re-run
+    # converges (same recovery doctrine as the fold marker).
+    new_stats = None
+    dict_tmp = None
+    if deleted:
+        from ..analyzer import tokens_col
+        from ..functions.bm25 import idf_col
+
+        docs = reader.doc_source().select("doc_id", "text")
+        gone = (
+            docs.filter(F.col("doc_id").isin([int(d) for d in deleted]))
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum(F.size(tokens_col("text"))), F.lit(0)).alias("toks"),
+            )
+            .collect()[0]
+        )
+        old = store.stats()
+        n_docs_new = int(old["n_docs"]) - int(gone["n"])
+        total_new = int(old.get("total_tokens", 0)) - int(gone["toks"])
+        new_stats = dict(old)
+        new_stats.update(
+            {
+                "n_docs": n_docs_new,
+                "total_tokens": total_new,
+                "avgdl": (total_new / n_docs_new) if n_docs_new else 0.0,
+            }
+        )
+        dictionary = (
+            spark.read.option("basePath", tmp_path).parquet(tmp_path)
+            .groupBy("term")
+            .agg(
+                F.sum("n_docs").alias("df"),
+                F.sum("cf_block").alias("cf"),
+                F.max("block_max_tf").alias("max_tf"),
+                F.max("block_max_raw").alias("max_raw"),
+            )
+            .withColumn("idf", idf_col(F.lit(n_docs_new), F.col("df")))
+            .withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int"),
+            )
+        )
+        dict_tmp = store.dictionary_path + ".purge_tmp"
+        shutil.rmtree(dict_tmp, ignore_errors=True)
+        dictionary.repartition(store.term_buckets, "term_bucket").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(dict_tmp)
 
     # install-then-commit: the new layout lands under postings/ while the
     # old dirs remain untouched; the snapshot commit atomically repoints
@@ -203,9 +294,47 @@ def _compact_index_locked(spark: SparkSession, store: IndexStore) -> dict:
                 "blocks": int(row["blocks"]),
                 "postings": int(row["postings"] or 0),
                 "late_stream_batches": late,
+                "purged_docs": len(deleted),
             },
             segments=segments,
         )
+
+    if deleted:
+        # install the purged dictionary (staged rename, marker updated so
+        # the fold-marker reconciler can't resurrect pre-purge stats),
+        # write the reduced stats, then — last — clear the consumed
+        # tombstone files.  Late deletes (files not in tomb_files) survive
+        # for the next compaction.
+        import json as _json
+
+        from ..streaming.ingest import FOLD_MARKER
+
+        marker_path = os.path.join(store.dictionary_path, FOLD_MARKER)
+        marker = None
+        if os.path.exists(marker_path):
+            with open(marker_path) as f:
+                marker = _json.load(f)
+            marker.update(
+                {
+                    "n_docs": int(new_stats["n_docs"]),
+                    "total_tokens": int(new_stats["total_tokens"]),
+                    "avgdl": float(new_stats["avgdl"]),
+                }
+            )
+        aside = store.dictionary_path + ".old"
+        shutil.rmtree(aside, ignore_errors=True)
+        if marker is not None:
+            with open(os.path.join(dict_tmp, FOLD_MARKER), "w") as f:
+                _json.dump(marker, f)
+        os.rename(store.dictionary_path, aside)
+        os.rename(dict_tmp, store.dictionary_path)
+        shutil.rmtree(aside, ignore_errors=True)
+        store.write_stats(new_stats)
+        for name in tomb_files:
+            try:
+                os.remove(os.path.join(store.tombstones_path(), name))
+            except OSError:
+                pass
     # cleanup is best-effort: stale dirs are invisible to snapshot-aware
     # readers even if this is interrupted.  Everything the pre-compaction
     # view covered is folded into the new layout (batch postings tree,

@@ -92,6 +92,7 @@ def conjunctive_doc_ids(reader, terms: list[str]) -> DataFrame | None:
         return None
     blocks = reader.candidate_blocks(uniq, [b for _, b in dict_rows.values()])
     n_terms = len(uniq)
+    deleted = getattr(reader, "deleted", frozenset()) or None
 
     def intersect(pdf: pd.DataFrame) -> pd.DataFrame:
         per_term = []
@@ -116,6 +117,8 @@ def conjunctive_doc_ids(reader, terms: list[str]) -> DataFrame | None:
             acc = np.intersect1d(acc, ids, assume_unique=True)
             if acc.shape[0] == 0:
                 break
+        if deleted and acc.shape[0]:
+            acc = acc[~np.isin(acc, np.fromiter(deleted, dtype=np.int64))]
         return pd.DataFrame(
             {
                 "doc_bucket": np.full(acc.shape[0], int(pdf["doc_bucket"].iloc[0]), dtype=np.int32),

@@ -184,8 +184,12 @@ def wand_topk(
     avgdl: float,
     k: int,
     cache: dict | None = None,
+    deleted: frozenset | None = None,
 ) -> tuple[list[tuple[int, float]], dict]:
     """Exact top-k over one doc range via block-max WAND.
+
+    ``deleted`` (tombstoned doc_ids) never enter the heap — their cursors
+    advance normally so pruning and progress are unaffected.
 
     Returns ([(doc_id, score)] ordered (score DESC, doc_id ASC), counters).
     """
@@ -270,6 +274,9 @@ def wand_topk(
                 d_prime = max(d_prime, pivot_doc + 1)
                 for c in aligned:
                     c.skip_to(d_prime)
+            elif deleted and pivot_doc in deleted:
+                for c in aligned:  # tombstoned: skip scoring, keep progress
+                    c.advance()
             else:
                 # sum in ascending term order for bit-identity with oracle
                 score = 0.0
@@ -306,6 +313,7 @@ def dense_topk(
     avgdl: float,
     k: int,
     cache: dict | None = None,
+    deleted: frozenset | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k over one doc range via dense vectorized accumulation —
     the numpy "SIMD path" of the scorer pair (the reference keeps the same
@@ -358,6 +366,9 @@ def dense_topk(
             scores[idx] += contrib  # unique docs per term: plain fancy-index add
             seen[idx] = True
     cand = np.flatnonzero(seen)
+    if deleted and cand.shape[0]:
+        dele = np.fromiter(deleted, dtype=np.int64)
+        cand = cand[~np.isin(cand + lo, dele)]
     if cand.shape[0] > k:
         # kth-largest score via partial select; keep everything at/above it
         # (boundary ties included) so the exact (score DESC, doc_id ASC)
@@ -414,6 +425,9 @@ class IndexReader:
         self.stats = self.store.stats()
         self._dict_df = self.spark.read.parquet(self.store.dictionary_path)
         self._posts_df = self.store.load_postings_df(self.spark)
+        # tombstoned doc_ids: excluded from every result (logical delete);
+        # scores keep the physical index's stats until a compaction purges
+        self.deleted: frozenset = self.store.tombstones()
         # term → (idf, term_bucket), or None for known-absent terms —
         # negative entries stop OOV terms from re-running the lookup job
         self._term_cache: dict[str, tuple[float, int] | None] = {}
@@ -520,6 +534,7 @@ class IndexReader:
         avgdl = float(self.stats["avgdl"])
         idf_b = {t: idf for t, (idf, _) in dict_rows.items()}
         qterms_b = dict(qterms)  # captured in the closure (tiny)
+        deleted_b = self.deleted or None  # driver-sized; ships in the closure
 
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             by_term = {t: g for t, g in pdf.groupby("term")}
@@ -537,9 +552,9 @@ class IndexReader:
                 # bit-identical (property-tested).
                 n_postings = int(sum(g["n_docs"].sum() for g in sub.values()))
                 if n_postings <= WAND_MAX_POSTINGS:
-                    top, _ = wand_topk(sub, idf_b, avgdl, k, cache)
+                    top, _ = wand_topk(sub, idf_b, avgdl, k, cache, deleted_b)
                 else:
-                    top = dense_topk(sub, idf_b, avgdl, k, cache)
+                    top = dense_topk(sub, idf_b, avgdl, k, cache, deleted_b)
                 if top:
                     out = pd.DataFrame(top, columns=["doc_id", "score"])
                     out.insert(0, "query_id", qid)

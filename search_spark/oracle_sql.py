@@ -70,6 +70,50 @@ ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
 
 
+def bm25_topk_excluding_sql(
+    query_text: str, k: int, excluded_pred: str, docs_sql: str = DOCS_SQL
+) -> str:
+    """Logical-delete twin (tombstones, pre-purge): BM25 scored with the
+    FULL corpus's stats (N, avgdl, df) but docs matching ``excluded_pred``
+    (a SQL boolean over ``doc_id``, e.g. ``doc_id % 7 = 3`` or
+    ``doc_id IN (...)``) removed from the ranking — exactly what a
+    tombstoned index serves until a compaction physically purges."""
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, 1 AS rank, CAST(NULL AS BIGINT) AS score_micro WHERE false"
+    idf = sql_idf("stats.n_docs", "dft.df")
+    score = sql_term_score("tf.tf", "dl.dl", "stats.avgdl", idf)
+    pred = excluded_pred.replace("doc_id", "tf.doc_id")
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  q AS (SELECT term FROM {_values_terms(terms)}),
+  scored AS (
+    SELECT tf.doc_id, sum({score}) AS score
+    FROM tf
+    JOIN q USING (term)
+    JOIN dft USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    WHERE NOT ({pred})
+    GROUP BY tf.doc_id),
+  rounded AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+    FROM scored)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       score_micro
+FROM rounded
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
+def docs_sql_excluding(excluded_pred: str) -> str:
+    """Docs view minus rows matching ``excluded_pred`` — the physical-
+    purge twin: feed to bm25_topk_sql so N/avgdl/df are recomputed over
+    the reduced corpus, exactly what a compaction purge leaves behind."""
+    return f"SELECT doc_id, text FROM documents WHERE NOT ({excluded_pred})"
+
+
 def phrase_topk_sql(phrase_text: str, k: int, docs_sql: str = DOCS_SQL) -> str:
     """Top-k BM25 phrase search (operators/phrase.py twin): the phrase is
     one pseudo-term with tf = exact (overlap-counting) occurrence count

@@ -300,6 +300,54 @@ class IndexStore:
             out = out.unionByName(p)
         return out
 
+    # ---- tombstones (logical deletes) ----
+    def tombstones_path(self) -> str:
+        return os.path.join(self.root, "tombstones")
+
+    def delete_docs(self, doc_ids) -> int:
+        """Logically delete ``doc_ids``: append a tombstone file and commit
+        a ``delete`` snapshot.  Readers exclude tombstoned docs from every
+        result at their next ``refresh()``; scores keep the PHYSICAL
+        index's stats (N, avgdl, df) until a compaction purges the
+        postings — the classic logical-delete contract.  Append-only and
+        atomic (tmp + rename), so a crashed delete is invisible.
+
+        Driver-sized by design: regulatory/holdout delete sets are
+        thousands-to-millions of ids (a few MB of JSON).  A corpus-scale
+        delete (>10^8 ids) should instead rebuild without the rows — at
+        that volume it is a new corpus, not a delete."""
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            return self.manifest()["current_snapshot"] or 0
+        with _CP_LOCK:
+            os.makedirs(self.tombstones_path(), exist_ok=True)
+            sid_next = (self.manifest()["current_snapshot"] or 0) + 1
+            path = os.path.join(self.tombstones_path(), f"delete-{sid_next}.json")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"doc_ids": ids}, f)
+            os.replace(tmp, path)
+            return self.commit_snapshot("delete", {"n_docs": len(ids)})
+
+    def tombstones(self) -> frozenset:
+        """Union of all tombstoned doc_ids (empty when none)."""
+        root = self.tombstones_path()
+        if not os.path.exists(root):
+            return frozenset()
+        out: set[int] = set()
+        for name in sorted(os.listdir(root)):
+            if name.endswith(".json"):
+                data = _read_json(os.path.join(root, name), {})
+                out.update(int(d) for d in data.get("doc_ids", []))
+        return frozenset(out)
+
+    def clear_tombstones(self) -> None:
+        """Remove all tombstone files — only after a purge has physically
+        removed the postings (compaction)."""
+        import shutil
+
+        shutil.rmtree(self.tombstones_path(), ignore_errors=True)
+
     # ---- stats ----
     def write_stats(self, stats: dict) -> None:
         _write_json_atomic(self.stats_path, stats)

@@ -1,0 +1,162 @@
+"""Document deletion: logical tombstones + physical purge at compaction.
+
+Covers: oracle identity for both semantics, scorer-pair parity under
+deletes, exclusion across every operator family, tombstone lifecycle
+(late deletes survive a purge), and no-op edges."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from search_spark.corpus import transcripts_from_documents
+from search_spark.operators.boolean import boolean_search, facet_counts
+from search_spark.operators.compact import compact_index
+from search_spark.operators.indexer import build_index
+from search_spark.operators.phrase import phrase_search
+from search_spark.operators.prefix import prefix_search
+from search_spark.operators.wand import IndexReader
+from search_spark.oracle_sql import (
+    bm25_topk_excluding_sql,
+    bm25_topk_sql,
+    docs_sql_excluding,
+    phrase_topk_sql,
+)
+from search_spark.sources.index_store import IndexStore
+
+SF = "/root/testdata/sf0.001"
+PRED = "doc_id % 7 = 3"
+Q = "the fast order"
+
+
+def _ids(df):
+    return [(r["doc_id"], round(r["score"] * 1e6)) for r in df.collect()]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = IndexStore(str(tmp_path / "idx"), doc_bucket_size=128, term_buckets=8)
+    build_index(spark, transcripts_from_documents(spark, SF), st, n_units=2)
+    return st
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+def _deleted(spark):
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    return [d for d in range(n) if d % 7 == 3]
+
+
+def test_tombstone_then_purge_matches_oracles(spark, store, ddb):
+    reader = IndexReader(spark, store)
+    dele = _deleted(spark)
+    base = _ids(reader.batch_search([("q", Q)], 10).drop("query_id"))
+
+    store.delete_docs(dele)
+    reader.refresh()
+    tomb = _ids(reader.batch_search([("q", Q)], 10).drop("query_id"))
+    want = [(r[0], r[2]) for r in ddb.execute(bm25_topk_excluding_sql(Q, 10, PRED)).fetchall()]
+    assert tomb == want and tomb != base
+    assert not ({d for d, _ in tomb} & set(dele))
+
+    compact_index(spark, store)
+    assert store.tombstones() == frozenset()  # consumed by the purge
+    reader.refresh()
+    purged = _ids(reader.batch_search([("q", Q)], 10).drop("query_id"))
+    want2 = [
+        (r[0], r[2])
+        for r in ddb.execute(
+            bm25_topk_sql(Q, 10, docs_sql=docs_sql_excluding(PRED))
+        ).fetchall()
+    ]
+    assert purged == want2
+    # purged stats reflect the reduced corpus
+    n_live = ddb.execute(
+        f"SELECT count(*) FROM documents WHERE NOT ({PRED})"
+    ).fetchone()[0]
+    assert reader.stats["n_docs"] == n_live
+
+
+def test_deletes_hold_across_operator_families(spark, store, ddb):
+    dele = set(_deleted(spark))
+    store.delete_docs(sorted(dele))
+    reader = IndexReader(spark, store)
+    assert not ({r["doc_id"] for r in phrase_search(reader, "order fast", 1000).collect()} & dele)
+    assert not ({r["doc_id"] for r in boolean_search(reader, "order", "fast", "", 1000).collect()} & dele)
+    assert not ({r["doc_id"] for r in prefix_search(reader, "or", 1000).collect()} & dele)
+    # phrase over the tombstoned store == oracle over the reduced docs with
+    # full-corpus scoring... pseudo-term df is live-count by construction,
+    # and N/avgdl are physical — mirror by excluding docs from the oracle's
+    # doc set while keeping its stats CTEs corpus-wide is not expressible
+    # in one template, so pin the exclusion property plus the purged form:
+    compact_index(spark, store)
+    reader.refresh()
+    got = [
+        (r["doc_id"], round(r["score"] * 1e6), r["ptf"])
+        for r in phrase_search(reader, "order fast", 10).collect()
+    ]
+    want = [
+        (r[0], r[2], r[3])
+        for r in ddb.execute(
+            phrase_topk_sql("order fast", 10, docs_sql=docs_sql_excluding(PRED))
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_scorer_pair_parity_under_deletes(spark, store):
+    """WAND and dense dispatch must agree with tombstones active: force
+    each path via the dispatch threshold."""
+    import search_spark.operators.wand as w
+
+    store.delete_docs(_deleted(spark))
+    reader = IndexReader(spark, store)
+    orig = w.WAND_MAX_POSTINGS
+    try:
+        w.WAND_MAX_POSTINGS = 10**9  # force WAND
+        a = _ids(reader.batch_search([("q", Q)], 10).drop("query_id"))
+        w.WAND_MAX_POSTINGS = 0  # force dense
+        b = _ids(reader.batch_search([("q", Q)], 10).drop("query_id"))
+    finally:
+        w.WAND_MAX_POSTINGS = orig
+    assert a == b and len(a) == 10
+
+
+def test_facets_exclude_deleted(spark, store):
+    dele = _deleted(spark)
+    reader = IndexReader(spark, store)
+    before = {r["facet_value"]: r["n_docs"] for r in facet_counts(reader, "order", facet="role").collect()}
+    store.delete_docs(dele)
+    reader.refresh()
+    after = {r["facet_value"]: r["n_docs"] for r in facet_counts(reader, "order", facet="role").collect()}
+    assert sum(after.values()) < sum(before.values())
+
+
+def test_tombstone_lifecycle(spark, store):
+    # deleting nothing is a no-op snapshot-wise
+    before = store.manifest()["current_snapshot"]
+    store.delete_docs([])
+    assert store.manifest()["current_snapshot"] == before
+    # non-existent ids are harmless
+    store.delete_docs([10_000_000])
+    reader = IndexReader(spark, store)
+    assert reader.batch_search([("q", Q)], 5).count() == 5
+    # a tombstone landing AFTER the purge's file snapshot must survive:
+    # simulate by writing one tombstone, purging, then checking a second
+    store.delete_docs([0, 1])
+    compact_index(spark, store)
+    assert store.tombstones() == frozenset()
+    store.delete_docs([2])
+    assert store.tombstones() == frozenset({2})
