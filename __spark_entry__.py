@@ -383,6 +383,23 @@ def _q_pack_summary(spark, sf_dir):
     return pack_summary(pack_sequences(tr, PACK_BUDGET), PACK_BUDGET)
 
 
+#: seed document for the find-similar gate entry
+MLT_SEED = 42
+
+
+def _q_more_like_this(spark, sf_dir):
+    """Find-similar (operators/keywords.more_like_this): seed keywords by
+    tf·idf from the dictionary → disjunctive BM25, seed excluded."""
+    from search_spark.operators.keywords import more_like_this
+
+    res = more_like_this(_wand_reader(spark, sf_dir), MLT_SEED, _TOPK)
+    return res.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
 #: sampling rate for the hash-sample gate entry
 SAMPLE_RATE = 0.2
 
@@ -931,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_role_counts": _q_facet_role,
         "pack_assignments": _q_pack_assignments,
         "pack_summary": _q_pack_summary,
+        "more_like_this": _q_more_like_this,
         "bm25_tombstoned": _q_bm25_tombstoned,
         "bm25_purged": _q_bm25_purged,
         "contamination_report": _q_contamination,
@@ -1011,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_assignments": osql.pack_assignments_sql(PACK_BUDGET),
         "pack_summary": osql.pack_summary_sql(PACK_BUDGET),
+        "more_like_this": osql.more_like_this_sql(MLT_SEED, _TOPK),
         "bm25_tombstoned": osql.bm25_topk_excluding_sql(
             Q_MIX, _TOPK, "doc_id % 7 = 3"
         ),

@@ -54,3 +54,60 @@ def top_terms(docs: DataFrame, n: int = TOP_TERMS_N) -> DataFrame:
         .filter(F.col("rank") <= n)
         .select("doc_id", "term", "rank", "tfidf_micro")
     )
+
+
+def doc_keywords(reader, doc_id: int, max_terms: int = 8) -> list[str]:
+    """The seed doc's top ``max_terms`` terms by tf·idf, computed
+    index-natively: text from a bucket-pruned doc fetch (one row), tf
+    driver-side from the frozen analyzer, idf from the DICTIONARY (same
+    numbers query scoring uses).  Ties: (tfidf_micro DESC, term ASC).
+    OOV terms (possible on a purged store) drop out."""
+    from ..analyzer import tokenize
+
+    bucket = int(doc_id) // int(reader.stats["doc_bucket_size"])
+    rows = (
+        reader.doc_source(buckets=[bucket])
+        .filter(F.col("doc_id") == int(doc_id))
+        .select("text")
+        .collect()
+    )
+    if not rows:
+        return []
+    toks = tokenize(rows[0]["text"])
+    tf: dict[str, int] = {}
+    for t in toks:
+        tf[t] = tf.get(t, 0) + 1
+    dict_rows = reader._dictionary_rows(sorted(tf))
+    scored = [
+        (round(tf[t] * idf * 1e6), t)
+        for t, (idf, _) in dict_rows.items()
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _, t in scored[:max_terms]]
+
+
+def more_like_this(
+    reader, doc_id: int, k: int = 10, max_terms: int = 8
+) -> DataFrame:
+    """Find-similar: the seed doc's tf·idf keywords become a disjunctive
+    BM25 query; the seed itself is excluded from the result.  (doc_id,
+    rank, score) under (score DESC, doc_id ASC)."""
+    spark = reader.spark
+    empty = "doc_id bigint, rank int, score double"
+    if k <= 0:
+        return spark.createDataFrame([], empty)
+    terms = doc_keywords(reader, doc_id, max_terms)
+    if not terms:
+        return spark.createDataFrame([], empty)
+    res = (
+        reader.batch_search([("q", " ".join(terms))], k + 1)
+        .drop("query_id")
+        .filter(F.col("doc_id") != int(doc_id))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.select("doc_id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "score")
+    )

@@ -70,6 +70,42 @@ ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
 
 
+def more_like_this_sql(
+    seed_doc: int, k: int, max_terms: int = 8, docs_sql: str = DOCS_SQL
+) -> str:
+    """Find-similar twin (operators/keywords.more_like_this): the seed
+    doc's top ``max_terms`` terms by micro-rounded tf·idf (ties term ASC)
+    score as a disjunctive BM25 query, seed excluded."""
+    idf = sql_idf("stats.n_docs", "dft.df")
+    score = sql_term_score("tf.tf", "dl.dl", "stats.avgdl", idf)
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  kw AS (
+    SELECT tf.term
+    FROM tf JOIN dft USING (term) CROSS JOIN stats
+    WHERE tf.doc_id = {int(seed_doc)}
+    ORDER BY CAST(round(tf.tf * {idf} * 1e6) AS BIGINT) DESC, tf.term
+    LIMIT {max_terms}),
+  scored AS (
+    SELECT tf.doc_id, sum({score}) AS score
+    FROM tf
+    JOIN kw USING (term)
+    JOIN dft USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    WHERE tf.doc_id != {int(seed_doc)}
+    GROUP BY tf.doc_id),
+  rounded AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+    FROM scored)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       score_micro
+FROM rounded
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
 def bm25_topk_excluding_sql(
     query_text: str, k: int, excluded_pred: str, docs_sql: str = DOCS_SQL
 ) -> str:

@@ -102,3 +102,20 @@ def test_boolean_plan_is_pruned(reader):
         .toString()
     )
     assert "term_bucket" in plan
+
+
+def test_more_like_this_matches_oracle(reader, ddb):
+    from search_spark.operators.keywords import more_like_this
+    from search_spark.oracle_sql import more_like_this_sql
+
+    for seed in (0, 17):
+        got = [
+            (r["doc_id"], r["rank"], round(r["score"] * 1e6))
+            for r in more_like_this(reader, seed, 10).collect()
+        ]
+        want = [tuple(r) for r in ddb.execute(more_like_this_sql(seed, 10)).fetchall()]
+        assert got == want and len(got) == 10
+        assert all(d != seed for d, _, _ in got)
+    # unknown seed and k=0 are clean empties
+    assert more_like_this(reader, 10**9, 10).count() == 0
+    assert more_like_this(reader, 0, 0).count() == 0
