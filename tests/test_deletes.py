@@ -160,3 +160,46 @@ def test_tombstone_lifecycle(spark, store):
     assert store.tombstones() == frozenset()
     store.delete_docs([2])
     assert store.tombstones() == frozenset({2})
+
+
+def test_purge_on_streamed_store_survives_marker_reconcile(spark, tmp_path):
+    """A purge on a stream-built store must update the fold marker inside
+    the installed dictionary — otherwise _reconcile_fold_marker would
+    'repair' stats back to the pre-purge n_docs."""
+    from search_spark.corpus import generate_pandas
+    from search_spark.streaming.ingest import (
+        _reconcile_fold_marker,
+        finalize_stream,
+        start_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = generate_pandas(40)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "p1"))
+    store = IndexStore(str(tmp_path / "idx"), doc_bucket_size=512, term_buckets=4)
+    q = start_ingest(
+        spark, f"{src}/p*", store, checkpoint_dir=str(tmp_path / "cp"), available_now=True
+    )
+    q.awaitTermination(300)
+    finalize_stream(spark, store)
+
+    n0 = store.stats()["n_docs"]
+    # stream batches live in a per-batch doc_id namespace (base 2^40), so
+    # deletes must target REAL ids, not 0..n-1
+    reader0 = IndexReader(spark, store)
+    all_ids = sorted(
+        r["doc_id"] for r in reader0.doc_source().select("doc_id").collect()
+    )
+    dele = all_ids[::5]
+    store.delete_docs(dele)
+    compact_index(spark, store)
+    n1 = store.stats()["n_docs"]
+    assert n1 == n0 - len(dele)
+    # the reconciler must be a no-op now, not a resurrection
+    _reconcile_fold_marker(store)
+    assert store.stats()["n_docs"] == n1
+    # and the purged store still answers rank-identically to a reader view
+    reader = IndexReader(spark, store)
+    res = reader.batch_search([("q", "the fast")], 5).drop("query_id").collect()
+    assert all(r["doc_id"] not in set(dele) for r in res)
