@@ -383,6 +383,34 @@ def _q_pack_summary(spark, sf_dir):
     return pack_summary(pack_sequences(tr, PACK_BUDGET), PACK_BUDGET)
 
 
+#: materialization gate config: the quality floor sits at the corpus's
+#: ~10th percentile so the filter provably bites
+MAT_BUDGET = 256
+MAT_MIN_QUALITY = 650_000
+
+
+def _q_materialize(spark, sf_dir):
+    """Composed training-corpus materialization (operators/materialize.py):
+    quality filter → dedup keeper → splits → per-split packing, verified
+    end-to-end against one SQL oracle."""
+    from search_spark.operators.materialize import materialize_training_corpus
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return materialize_training_corpus(tr, MAT_BUDGET, MAT_MIN_QUALITY)
+
+
+def _q_materialize_summary(spark, sf_dir):
+    from search_spark.operators.materialize import (
+        materialize_summary,
+        materialize_training_corpus,
+    )
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    return materialize_summary(
+        materialize_training_corpus(tr, MAT_BUDGET, MAT_MIN_QUALITY)
+    )
+
+
 #: seed document for the find-similar gate entry
 MLT_SEED = 42
 
@@ -955,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assignments": _q_split_assignments,
         "split_summary": _q_split_summary,
         "hash_sample": _q_hash_sample,
+        "materialize_corpus": _q_materialize,
+        "materialize_summary": _q_materialize_summary,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -1046,6 +1076,12 @@ def oracle_sql() -> dict[str, str]:
             _splits.DEFAULT_WEIGHTS, _splits.DEFAULT_SALT
         ),
         "hash_sample": osql.hash_sample_sql(SAMPLE_RATE, "sample/v1"),
+        "materialize_corpus": osql.materialize_sql(
+            MAT_BUDGET, MAT_MIN_QUALITY, _splits.DEFAULT_WEIGHTS, _splits.DEFAULT_SALT
+        ),
+        "materialize_summary": osql.materialize_summary_sql(
+            MAT_BUDGET, MAT_MIN_QUALITY, _splits.DEFAULT_WEIGHTS, _splits.DEFAULT_SALT
+        ),
         "dedup_exact": osp.dedup_exact_sql(),
         "dedup_minhash_lsh": osp.minhash_lsh_sql(),
         "dedup_ngram_jaccard": osp.ngram_jaccard_sql(),

@@ -1,0 +1,92 @@
+"""End-to-end training-corpus materialization — the composed pipeline a
+100 TB pretraining run actually executes, built entirely from the
+engine's own oracle-pinned stages:
+
+  transcripts
+    → per-turn quality scoring        (functions/textstats, JVM-only)
+    → quality filter                  (composite ≥ threshold)
+    → exact-dedup keeper              (md5(text) groups, first survivor
+                                       under (conv_id, turn_idx) wins)
+    → split assignment                (operators/splits, conv-coherent)
+    → per-split sequence packing      (operators/packing, two-phase
+                                       prefix sum per split)
+
+Every stage is deterministic and SQL-mirrorable, so the WHOLE pipeline
+has one DuckDB oracle (oracle_sql.materialize_sql) — the composition is
+verified end-to-end, not just stage by stage.
+
+Plan shape: quality+filter are narrow; the dedup keeper is one hash
+shuffle on md5(text); split is a narrow projection; packing is one range
+shuffle per split (splits are O(3)).  Nothing driver-sized except the
+P-row prefix-sum bases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analyzer import tokens_col
+from ..functions.textstats import quality_cols
+from .packing import pack_sequences
+from .splits import DEFAULT_SALT, split_col
+
+#: default composite-quality floor (micro units) — tuned to drop the
+#: degenerate tail, not the median
+DEFAULT_MIN_QUALITY = 100_000
+
+
+def materialize_training_corpus(
+    transcripts: DataFrame,
+    budget: int = 256,
+    min_quality_micro: int = DEFAULT_MIN_QUALITY,
+    weights: dict[str, float] | None = None,
+    salt: str = DEFAULT_SALT,
+) -> DataFrame:
+    """(conv_id, turn_idx, split, seq_id, n_tokens, quality_micro) for
+    every surviving turn — the train-ready assignment table."""
+    toks = tokens_col("text")
+    q = quality_cols(F.col("text"), toks)
+    scored = transcripts.select(
+        "conv_id", "turn_idx", "text", q["quality_micro"].alias("quality_micro")
+    )
+    kept = scored.filter(F.col("quality_micro") >= min_quality_micro)
+    # exact-dedup keeper among survivors: first (conv_id, turn_idx) per text
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("conv_id", "turn_idx")
+    uniq = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    assigned = uniq.withColumn("split", split_col(F.col("conv_id"), weights, salt))
+    # per-split packing: seq offsets reset per split (a training sequence
+    # never spans splits); splits are O(3), so per-split two-phase packs
+    # cost one range shuffle each
+    splits = [r["split"] for r in assigned.select("split").distinct().collect()]
+    parts = []
+    for name in sorted(splits):
+        packed = pack_sequences(
+            assigned.filter(F.col("split") == name), budget
+        ).select(
+            "conv_id", "turn_idx", "split", "seq_id", "n_tokens", "quality_micro"
+        )
+        parts.append(packed)
+    if not parts:
+        return transcripts.sparkSession.createDataFrame(
+            [],
+            "conv_id string, turn_idx int, split string, seq_id bigint, "
+            "n_tokens bigint, quality_micro bigint",
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def materialize_summary(materialized: DataFrame) -> DataFrame:
+    """Audit rollup per split: (split, n_seqs, n_turns, n_tokens)."""
+    return materialized.groupBy("split").agg(
+        F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -663,6 +663,81 @@ WITH tr AS ({SQL_TRANSCRIPTS_FROM_DOCUMENTS})
 SELECT conv_id, turn_idx FROM tr WHERE {h} < {int(rate * 2**32)}"""
 
 
+def _materialize_ctes(
+    budget: int,
+    min_quality_micro: int,
+    weights: dict[str, float],
+    salt: str,
+) -> str:
+    """Shared CTEs mirroring operators/materialize.py end to end:
+    quality → filter → dedup keeper → split → per-split packing."""
+    from .corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS
+    from .functions.textstats import quality_sql, quality_sql_lateral
+
+    case = _split_case_sql("conv_id", weights, salt)
+    return f"""
+  tr AS ({SQL_TRANSCRIPTS_FROM_DOCUMENTS}),
+  helpers AS (
+    SELECT conv_id, turn_idx, text, {quality_sql_lateral('text')}
+    FROM tr),
+  scoredq AS (
+    SELECT conv_id, turn_idx, text, {quality_sql('text')}
+    FROM helpers),
+  kept AS (
+    SELECT conv_id, turn_idx, text, quality_micro FROM scoredq
+    WHERE quality_micro >= {min_quality_micro}),
+  uniq AS (
+    SELECT conv_id, turn_idx, text, quality_micro FROM (
+      SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY conv_id, turn_idx) AS rn
+      FROM kept)
+    WHERE rn = 1),
+  assigned AS (
+    SELECT conv_id, turn_idx, quality_micro, {case} AS split,
+           CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+    FROM uniq),
+  packed AS (
+    SELECT conv_id, turn_idx, split, n_tokens, quality_micro,
+           CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY split ORDER BY conv_id, turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_offset
+    FROM assigned)"""
+
+
+def materialize_sql(
+    budget: int,
+    min_quality_micro: int,
+    weights: dict[str, float],
+    salt: str,
+) -> str:
+    """Per-turn materialization assignment: (conv_id, turn_idx, split,
+    seq_id, n_tokens, quality_micro)."""
+    return f"""
+WITH {_materialize_ctes(budget, min_quality_micro, weights, salt)}
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, split,
+       CAST(start_offset // {budget} AS BIGINT) AS seq_id,
+       n_tokens, quality_micro
+FROM packed"""
+
+
+def materialize_summary_sql(
+    budget: int,
+    min_quality_micro: int,
+    weights: dict[str, float],
+    salt: str,
+) -> str:
+    """Audit rollup per split: (split, n_seqs, n_turns, n_tokens)."""
+    return f"""
+WITH {_materialize_ctes(budget, min_quality_micro, weights, salt)}
+SELECT split,
+       CAST(count(DISTINCT start_offset // {budget}) AS BIGINT) AS n_seqs,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM packed
+GROUP BY split"""
+
+
 def doc_ids_stable_sql() -> str:
     from .corpus import SQL_TRANSCRIPTS_FROM_DOCUMENTS
 
