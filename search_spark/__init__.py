@@ -59,6 +59,25 @@ def __getattr__(name):
         "keeper_assignment": ("search_spark.operators.cluster", "keeper_assignment"),
         "sessionize_stream": ("search_spark.streaming.sessionize", "sessionize_stream"),
         "conversation_summary": ("search_spark.streaming.sessionize", "conversation_summary"),
+        # round-3 fulltext extensions
+        "phrase_search": ("search_spark.operators.phrase", "phrase_search"),
+        "near_search": ("search_spark.operators.phrase", "near_search"),
+        "boolean_search": ("search_spark.operators.boolean", "boolean_search"),
+        "facet_counts": ("search_spark.operators.boolean", "facet_counts"),
+        "prefix_search": ("search_spark.operators.prefix", "prefix_search"),
+        "fuzzy_search": ("search_spark.operators.prefix", "fuzzy_search"),
+        "search_snippets": ("search_spark.operators.snippet", "search_snippets"),
+        "more_like_this": ("search_spark.operators.keywords", "more_like_this"),
+        "run_query": ("search_spark.query_syntax", "run_query"),
+        # round-3 pipeline extensions
+        "pack_sequences": ("search_spark.operators.packing", "pack_sequences"),
+        "assign_splits": ("search_spark.operators.splits", "assign_splits"),
+        "hash_sample": ("search_spark.operators.splits", "hash_sample"),
+        "contamination_report": ("search_spark.operators.decontam", "contamination_report"),
+        "materialize_training_corpus": (
+            "search_spark.operators.materialize",
+            "materialize_training_corpus",
+        ),
     }
     if name in facade:
         mod, attr = facade[name]
