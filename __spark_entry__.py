@@ -313,6 +313,13 @@ def _q_snippets(spark, sf_dir):
     )
 
 
+def _q_suggest(spark, sf_dir):
+    """Autocomplete suggestions off the dictionary (operators/prefix.py)."""
+    from search_spark.operators.prefix import suggest_terms
+
+    return suggest_terms(_wand_reader(spark, sf_dir), Q_PREFIX, 8)
+
+
 #: boolean gate clauses — head must + mid should + head must_not exercises
 #: intersection, score-only terms, and exclusion in one entry
 BOOL_MUST = "table scan"
@@ -969,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_count": _q_phrase_count,
         "near_topk": _q_near,
         "prefix_topk": _q_prefix,
+        "suggest_terms": _q_suggest,
         "fuzzy_topk": _q_fuzzy,
         "snippet_topk": _q_snippets,
         "boolean_topk": _q_boolean,
@@ -1044,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_count": osql.phrase_count_sql(Q_PHRASE),
         "near_topk": osql.near_topk_sql(Q_NEAR, NEAR_SLOP, _TOPK),
         "prefix_topk": osql.prefix_topk_sql(Q_PREFIX, _TOPK),
+        "suggest_terms": osql.suggest_terms_sql(Q_PREFIX, 8),
         "fuzzy_topk": osql.fuzzy_topk_sql(Q_FUZZY, 1, _TOPK),
         "snippet_topk": osql.snippet_topk_sql(Q_MIX, _TOPK),
         "boolean_topk": osql.boolean_topk_sql(

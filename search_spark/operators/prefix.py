@@ -69,6 +69,25 @@ def prefix_search(
     return reader.batch_search([("q", " ".join(terms))], k).drop("query_id")
 
 
+def suggest_terms(
+    reader, prefix: str, n: int = 8
+) -> DataFrame:
+    """Autocomplete: (term, df) for the top ``n`` dictionary terms under
+    ``prefix`` by (df DESC, term ASC) — the expansion rule surfaced as a
+    user-facing suggestion list (pure dictionary read, same pruned scan
+    as expand_prefix)."""
+    spark = reader.spark
+    toks = tokenize(prefix)
+    if not toks or n <= 0:
+        return spark.createDataFrame([], "term string, df bigint")
+    return (
+        reader._dict_df.filter(F.col("term").startswith(toks[0]))
+        .select("term", F.col("df").cast("bigint").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
 #: per-token cap for fuzzy expansion (tighter than prefix: distance-1
 #: neighborhoods are small, distance-2 can explode on short tokens)
 MAX_FUZZY_EXPANSIONS = 16

@@ -370,6 +370,20 @@ FROM enriched JOIN tok ON tok.doc_id = enriched.doc_id
 ORDER BY rank"""
 
 
+def suggest_terms_sql(prefix: str, n: int = 8, docs_sql: str = DOCS_SQL) -> str:
+    """Autocomplete twin (operators/prefix.suggest_terms): top-n corpus
+    terms under the prefix by (df DESC, term ASC) with their df."""
+    toks = tokenize(prefix)
+    if not toks:
+        return "SELECT CAST(NULL AS VARCHAR) AS term, CAST(0 AS BIGINT) AS df WHERE false"
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)}
+SELECT term, CAST(df AS BIGINT) AS df FROM dft
+WHERE starts_with(term, '{toks[0]}')
+ORDER BY df DESC, term
+LIMIT {n}"""
+
+
 def fuzzy_topk_sql(
     query_text: str,
     max_dist: int = 1,

@@ -156,3 +156,14 @@ def test_prefix_dictionary_scan_pushes_startswith(reader):
         .toString()
     )
     assert "StartsWith" in plan
+
+
+def test_suggest_terms_matches_oracle(reader, ddb):
+    from search_spark.operators.prefix import suggest_terms
+    from search_spark.oracle_sql import suggest_terms_sql
+
+    got = [(r["term"], r["df"]) for r in suggest_terms(reader, "s", 4).collect()]
+    want = [tuple(r) for r in ddb.execute(suggest_terms_sql("s", 4)).fetchall()]
+    assert got == want and len(got) == 4
+    assert suggest_terms(reader, "", 8).count() == 0
+    assert suggest_terms(reader, "s", 0).count() == 0
