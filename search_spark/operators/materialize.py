@@ -59,28 +59,13 @@ def materialize_training_corpus(
         .drop("_rn")
     )
     assigned = uniq.withColumn("split", split_col(F.col("conv_id"), weights, salt))
-    # per-split packing: seq offsets reset per split (a training sequence
-    # never spans splits); splits are O(3), so per-split two-phase packs
-    # cost one range shuffle each
-    splits = [r["split"] for r in assigned.select("split").distinct().collect()]
-    parts = []
-    for name in sorted(splits):
-        packed = pack_sequences(
-            assigned.filter(F.col("split") == name), budget
-        ).select(
-            "conv_id", "turn_idx", "split", "seq_id", "n_tokens", "quality_micro"
-        )
-        parts.append(packed)
-    if not parts:
-        return transcripts.sparkSession.createDataFrame(
-            [],
-            "conv_id string, turn_idx int, split string, seq_id bigint, "
-            "n_tokens bigint, quality_micro bigint",
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # per-split packing in ONE range shuffle: offsets (and seq_ids) reset
+    # per split — a training sequence never spans splits — via
+    # pack_sequences' reset_col (range key (split, conv_id, turn_idx),
+    # per-(partition, split) bases)
+    return pack_sequences(assigned, budget, reset_col="split").select(
+        "conv_id", "turn_idx", "split", "seq_id", "n_tokens", "quality_micro"
+    )
 
 
 def materialize_summary(materialized: DataFrame) -> DataFrame:

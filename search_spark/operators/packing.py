@@ -34,44 +34,73 @@ def pack_sequences(
     budget: int,
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
+    reset_col: str | None = None,
 ) -> DataFrame:
     """Assign every turn to its training sequence: input columns plus
     ``n_tokens``, ``start_offset``, ``seq_id``, ``spans_boundary``.
 
-    ``budget`` is the context-window token budget (> 0)."""
+    ``budget`` is the context-window token budget (> 0).  With
+    ``reset_col`` the offsets (and therefore seq_ids) restart at 0 within
+    each value of that column — per-split packing in ONE range shuffle:
+    the range key becomes (reset_col, *order_cols), the per-partition
+    sums are keyed (partition, reset) so a partition straddling a reset
+    boundary accumulates each side separately, and the bases ship back as
+    a broadcast-joined (partition, reset, base) lookup."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    p = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
     with_n = df.withColumn("n_tokens", F.size(tokens_col("text")).cast("bigint"))
-    ranged = with_n.repartitionByRange(p, *[F.col(c) for c in order_cols])
+    range_cols = ([reset_col] if reset_col else []) + list(order_cols)
+    ranged = with_n.repartitionByRange(p, *[F.col(c) for c in range_cols])
 
     # two-phase exclusive prefix sum (docids.assign_doc_ids doctrine): the
     # ranged layout is persisted so the sum job and the window job observe
     # the same sampled boundaries
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
     try:
-        sums = with_pid.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
-        by_pid = {r["_pid"]: int(r["s"] or 0) for r in sums}
-        bases, acc = {}, 0
-        for pid in sorted(by_pid):
-            bases[pid] = acc
-            acc += by_pid[pid]
-        base_map = (
-            F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
-            if bases
-            else F.create_map()
-        )
-        w = Window.partitionBy("_pid").orderBy(
+        grp = ["_pid"] + ([reset_col] if reset_col else [])
+        sums = with_pid.groupBy(*grp).agg(F.sum("n_tokens").alias("s")).collect()
+        if reset_col:
+            # per-reset cumulative bases over partition order (range
+            # partitioning keeps each reset value's rows contiguous and
+            # pid-ordered; a boundary pid holds per-(pid, reset) rows)
+            acc_by_reset: dict = {}
+            base_rows = []
+            for r in sorted(sums, key=lambda r: (str(r[reset_col]), r["_pid"])):
+                key = r[reset_col]
+                base_rows.append((int(r["_pid"]), key, acc_by_reset.get(key, 0)))
+                acc_by_reset[key] = acc_by_reset.get(key, 0) + int(r["s"] or 0)
+            bases_df = spark.createDataFrame(
+                base_rows, f"_pid int, {reset_col} string, _base long"
+            )
+            with_base = with_pid.join(
+                F.broadcast(bases_df), ["_pid", reset_col]
+            )
+            base_expr = F.col("_base")
+        else:
+            by_pid = {r["_pid"]: int(r["s"] or 0) for r in sums}
+            bases, acc = {}, 0
+            for pid in sorted(by_pid):
+                bases[pid] = acc
+                acc += by_pid[pid]
+            base_map = (
+                F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
+                if bases
+                else F.create_map()
+            )
+            with_base = with_pid
+            base_expr = F.element_at(base_map, F.col("_pid"))
+        w = Window.partitionBy(*grp).orderBy(
             *[F.col(c).asc() for c in order_cols]
         )
-        start = (
-            F.sum("n_tokens").over(w) - F.col("n_tokens")
-            + F.element_at(base_map, F.col("_pid"))
-        ).cast("bigint")
+        start = (F.sum("n_tokens").over(w) - F.col("n_tokens") + base_expr).cast(
+            "bigint"
+        )
         # `div` (exact integer division) — float division would misround
         # offsets once the global token count passes 2^53
         out = (
-            with_pid.withColumn("start_offset", start)
+            with_base.withColumn("start_offset", start)
             .withColumn("seq_id", F.expr(f"start_offset div {int(budget)}"))
             .withColumn(
                 "spans_boundary",
@@ -81,7 +110,7 @@ def pack_sequences(
                     != F.col("seq_id")
                 ),
             )
-            .drop("_pid")
+            .drop("_pid", "_base")
         )
         # materialization contract mirrors assign_doc_ids: the caller gets
         # a plan over the persisted ranged layout; checkpointing/writing it

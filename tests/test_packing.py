@@ -91,3 +91,31 @@ def test_no_global_single_partition_window(spark):
         pack_sequences(tr, 128)._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_reset_col_equals_per_group_packing(spark):
+    """reset_col packing (one shuffle) must equal running pack_sequences
+    separately per group, at partition counts that force boundary pids."""
+    from pyspark.sql import functions as F
+
+    tr = transcripts_from_documents(spark, SF).withColumn(
+        "grp", F.when(F.col("conv_id") < "conv-000040", "a").otherwise("b")
+    )
+    for p in (1, 3, 7):
+        one = sorted(
+            tuple(r)
+            for r in pack_sequences(tr, 100, num_partitions=p, reset_col="grp")
+            .select("grp", "conv_id", "turn_idx", "start_offset", "seq_id")
+            .collect()
+        )
+        per = []
+        for g in ("a", "b"):
+            per.extend(
+                tuple(r)
+                for r in pack_sequences(
+                    tr.filter(F.col("grp") == g), 100, num_partitions=p
+                )
+                .select("grp", "conv_id", "turn_idx", "start_offset", "seq_id")
+                .collect()
+            )
+        assert one == sorted(per), p
