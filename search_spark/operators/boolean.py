@@ -246,12 +246,24 @@ def facet_counts(
         return spark.createDataFrame([], empty)
     ids = ids.cache()
     try:
-        buckets = [int(r["doc_bucket"]) for r in ids.select("doc_bucket").distinct().collect()]
-        if not buckets:
+        from .phrase import MAX_BUCKET_LIST
+
+        blist = (
+            ids.select("doc_bucket").distinct().limit(MAX_BUCKET_LIST + 1).collect()
+        )
+        if not blist:
             return spark.createDataFrame([], empty)
+        # past the cap the bucket list prunes nothing and would be
+        # driver-sized (head-only queries touch ~every bucket) — scan
+        # unpruned and let the join shuffle instead of broadcasting
+        capped = len(blist) > MAX_BUCKET_LIST
+        buckets = None if capped else [int(r["doc_bucket"]) for r in blist]
         docs = reader.doc_source(buckets=buckets).select("doc_id", facet)
+        match_ids = ids.select("doc_id")
+        if not capped:
+            match_ids = F.broadcast(match_ids)
         out = (
-            docs.join(F.broadcast(ids.select("doc_id")), "doc_id")
+            docs.join(match_ids, "doc_id")
             .groupBy(F.col(facet).cast("string").alias("facet_value"))
             .agg(F.count("*").cast("bigint").alias("n_docs"))
             .orderBy(F.desc("n_docs"), F.asc_nulls_last("facet_value"))

@@ -46,6 +46,13 @@ from ..oracle import idf as oracle_idf
 #: join and let AQE pick the strategy)
 BROADCAST_CANDIDATES_MAX = 2_000_000
 
+#: cap on the driver-side candidate-bucket list (used for doc-scan
+#: pruning).  A head-only phrase over 10^12 docs touches ~all of the
+#: ~10^8 doc_buckets — at that point the list prunes nothing and would
+#: itself be driver-sized, so past the cap the verify scans unpruned
+#: (which IS the matching physical plan for an everywhere-phrase)
+MAX_BUCKET_LIST = 8192
+
 _EMPTY_SCHEMA = "doc_id bigint, ptf int, score double"
 
 
@@ -195,17 +202,22 @@ def _pseudo_term_search(reader, terms: list[str], tf_builder, k: int) -> DataFra
     cands = cands.cache()
     try:
         # ONE job yields both the candidate count and the bucket list
-        # (phrase queries are multi-job by nature; don't add more)
-        per_bucket = cands.groupBy("doc_bucket").count().collect()
-        n_cand = sum(int(r["count"]) for r in per_bucket)
-        if n_cand == 0:
+        # (phrase queries are multi-job by nature; don't add more).  The
+        # collect is CAPPED: past MAX_BUCKET_LIST buckets the list prunes
+        # nothing and would be driver-sized, so the verify runs unpruned.
+        per_bucket = (
+            cands.groupBy("doc_bucket").count().limit(MAX_BUCKET_LIST + 1).collect()
+        )
+        if not per_bucket:
             return spark.createDataFrame([], _EMPTY_SCHEMA)
+        capped = len(per_bucket) > MAX_BUCKET_LIST
+        n_cand = None if capped else sum(int(r["count"]) for r in per_bucket)
         # docs scan pruned to the units that contain candidates (unit is
         # the staged layout's partition dir = pmod(doc_bucket, n_units))
-        buckets = [int(r["doc_bucket"]) for r in per_bucket]
+        buckets = None if capped else [int(r["doc_bucket"]) for r in per_bucket]
         docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
         cand_ids = cands.select("doc_id")
-        if n_cand <= BROADCAST_CANDIDATES_MAX:
+        if n_cand is not None and n_cand <= BROADCAST_CANDIDATES_MAX:
             cand_ids = F.broadcast(cand_ids)
         toks = tokens_col("text")
         verified = (
@@ -255,13 +267,20 @@ def phrase_count(reader, phrase_text: str) -> DataFrame:
     cands = conjunctive_doc_ids(reader, terms)
     if cands is None:
         return spark.createDataFrame([(0, 0)], empty)
-    buckets = [int(r["doc_bucket"]) for r in cands.select("doc_bucket").distinct().collect()]
-    if not buckets:
+    blist = (
+        cands.select("doc_bucket").distinct().limit(MAX_BUCKET_LIST + 1).collect()
+    )
+    if not blist:
         return spark.createDataFrame([(0, 0)], empty)
+    capped = len(blist) > MAX_BUCKET_LIST
+    buckets = None if capped else [int(r["doc_bucket"]) for r in blist]
     docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
     toks = tokens_col("text")
+    cand_ids = cands.select("doc_id")
+    if not capped:
+        cand_ids = F.broadcast(cand_ids)
     hits = (
-        docs.join(F.broadcast(cands.select("doc_id")), "doc_id")
+        docs.join(cand_ids, "doc_id")
         .select(phrase_tf_col(toks, terms).alias("ptf"))
         .filter(F.col("ptf") >= 1)
     )

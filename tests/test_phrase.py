@@ -148,3 +148,23 @@ def test_conjunctive_candidates_superset_and_pruned_plan(reader, spark):
         [b for _, b in reader._dictionary_rows(["fast", "order"]).values()],
     )._jdf.queryExecution().executedPlan().toString()
     assert "term_bucket" in plan
+
+
+def test_capped_bucket_list_path(reader, ddb, monkeypatch):
+    """Force the >MAX_BUCKET_LIST fallback (unpruned verify, shuffled
+    join): results must be identical to the pruned path."""
+    import search_spark.operators.phrase as ph
+
+    monkeypatch.setattr(ph, "MAX_BUCKET_LIST", 1)
+    got = [
+        (r["doc_id"], round(r["score"] * 1e6), r["ptf"])
+        for r in phrase_search(reader, "order fast", 10).collect()
+    ]
+    want = [
+        (r[0], r[2], r[3])
+        for r in ddb.execute(phrase_topk_sql("order fast", 10)).fetchall()
+    ]
+    assert got == want and len(got) == 10
+    gc = phrase_count(reader, "order fast").collect()[0]
+    wc = ddb.execute(phrase_count_sql("order fast")).fetchall()[0]
+    assert (gc["n_docs"], gc["n_occurrences"]) == wc
