@@ -219,13 +219,23 @@ def _pseudo_term_search(reader, terms: list[str], tf_builder, k: int) -> DataFra
         cand_ids = cands.select("doc_id")
         if n_cand is not None and n_cand <= BROADCAST_CANDIDATES_MAX:
             cand_ids = F.broadcast(cand_ids)
-        toks = tokens_col("text")
-        verified = (
+        # Materialize the candidate token arrays BEFORE computing the
+        # positional tf: without this barrier Catalyst pushes the
+        # `ptf >= 1` filter (and so the whole positional expression)
+        # through the join down to the corpus scan — evaluating it on
+        # EVERY doc instead of the candidates (measured 10× slower at
+        # 1.4M docs).  The cache is candidate-sized: bounded by the
+        # rarest term's df, the same bound the verify join relies on.
+        staged = (
             docs.join(cand_ids, "doc_id")
-            .select(
+            .select("doc_id", tokens_col("text").alias("toks"))
+            .persist()
+        )
+        verified = (
+            staged.select(
                 "doc_id",
-                tf_builder(toks).alias("ptf"),
-                F.size(toks).cast("int").alias("dl"),
+                tf_builder(F.col("toks")).alias("ptf"),
+                F.size("toks").cast("int").alias("dl"),
             )
             .filter(F.col("ptf") >= 1)
             .cache()
@@ -252,6 +262,7 @@ def _pseudo_term_search(reader, terms: list[str], tf_builder, k: int) -> DataFra
             return spark.createDataFrame(rows, schema=out.schema) if rows else spark.createDataFrame([], _EMPTY_SCHEMA)
         finally:
             verified.unpersist()
+            staged.unpersist()
     finally:
         cands.unpersist()
 
@@ -279,12 +290,16 @@ def phrase_count(reader, phrase_text: str) -> DataFrame:
     cand_ids = cands.select("doc_id")
     if not capped:
         cand_ids = F.broadcast(cand_ids)
-    hits = (
-        docs.join(cand_ids, "doc_id")
-        .select(phrase_tf_col(toks, terms).alias("ptf"))
-        .filter(F.col("ptf") >= 1)
+    # no `ptf >= 1` FILTER here: Catalyst would push it (and the whole
+    # positional expression) through the join onto the corpus scan.  The
+    # conditional aggregate is equivalent (ptf ≥ 0) and keeps the tf
+    # evaluation post-join, on candidates only.
+    joined = docs.join(cand_ids, "doc_id").select(
+        phrase_tf_col(toks, terms).alias("ptf")
     )
-    return hits.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
+    return joined.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ptf") >= 1, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("n_docs"),
         F.coalesce(F.sum("ptf"), F.lit(0)).cast("bigint").alias("n_occurrences"),
     )
