@@ -313,6 +313,21 @@ def _q_snippets(spark, sf_dir):
     )
 
 
+#: boosted gate query: one up-weighted, one down-weighted term
+BOOST_Q = "merge window customer batch"
+BOOSTS = {"merge": 2.0, "batch": 0.5}
+
+
+def _q_boosted(spark, sf_dir):
+    """Query-time term boosting (idf scaling — wand.batch_search boosts)."""
+    res = _wand_reader(spark, sf_dir).batch_search([("q", BOOST_Q)], _TOPK, boosts=BOOSTS)
+    return res.drop("query_id").select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
 def _q_suggest(spark, sf_dir):
     """Autocomplete suggestions off the dictionary (operators/prefix.py)."""
     from search_spark.operators.prefix import suggest_terms
@@ -971,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_batch": _q_wand_batch,
         "bm25_wand_queryset": _q_wand_queryset,
         "bm25_wand_compacted": _q_wand_compacted,
+        "bm25_boosted": _q_boosted,
         "phrase_topk": _q_phrase,
         "phrase_topk_long": _q_phrase_long,
         "phrase_count": _q_phrase_count,
@@ -1047,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
             load_queryset_py(QUERYSET_PATH), _TOPK
         ),
         "bm25_wand_compacted": osql.bm25_topk_sql(Q_MIX, _TOPK),
+        "bm25_boosted": osql.bm25_boosted_sql(BOOST_Q, BOOSTS, _TOPK),
         "phrase_topk": osql.phrase_topk_sql(Q_PHRASE, _TOPK),
         "phrase_topk_long": osql.phrase_topk_sql(Q_PHRASE_LONG, _TOPK),
         "phrase_count": osql.phrase_count_sql(Q_PHRASE),

@@ -502,8 +502,18 @@ class IndexReader:
             pred = F.col("term_bucket").isin(sorted(set(buckets))) & pred
         return posts.filter(pred)
 
-    def batch_search(self, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
+    def batch_search(
+        self,
+        queries: list[tuple[str, str]],
+        k: int = 10,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
         """Batch top-k: queries = [(query_id, query_text)].
+
+        ``boosts`` (term → positive weight) scales each term's
+        contribution: BM25 is linear in idf per term, so boosting is an
+        idf scale — the WAND upper bounds derive from the scaled idf and
+        stay exact.
 
         Plan: candidate blocks (pruned scan) → applyInPandas per
         ``doc_bucket`` group scoring ALL queries of the batch against the
@@ -533,6 +543,10 @@ class IndexReader:
         blocks = self.candidate_blocks(live_terms, [b for _, b in dict_rows.values()])
         avgdl = float(self.stats["avgdl"])
         idf_b = {t: idf for t, (idf, _) in dict_rows.items()}
+        if boosts:
+            if any(w <= 0 for w in boosts.values()):
+                raise ValueError(f"boosts must be positive: {boosts}")
+            idf_b = {t: idf * float(boosts.get(t, 1.0)) for t, idf in idf_b.items()}
         qterms_b = dict(qterms)  # captured in the closure (tiny)
         deleted_b = self.deleted or None  # driver-sized; ships in the closure
 

@@ -432,6 +432,43 @@ ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
 
 
+def bm25_boosted_sql(
+    query_text: str,
+    boosts: dict[str, float],
+    k: int,
+    docs_sql: str = DOCS_SQL,
+) -> str:
+    """Boosted BM25 twin (wand.batch_search boosts): each term's idf is
+    scaled by its positive weight (idf * boost computed first, exactly
+    the engine's float order); output (doc_id, rank, score_micro)."""
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, 1 AS rank, CAST(NULL AS BIGINT) AS score_micro WHERE false"
+    rows = ", ".join(f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in terms)
+    idf = f"({sql_idf('stats.n_docs', 'dft.df')} * qt.boost)"
+    score = sql_term_score("tf.tf", "dl.dl", "stats.avgdl", idf)
+    return f"""
+WITH {bm25_corpus_ctes(docs_sql)},
+  q AS (SELECT term, boost FROM (VALUES {rows}) AS v(term, boost)),
+  scored AS (
+    SELECT tf.doc_id, sum({score}) AS score
+    FROM tf
+    JOIN q AS qt USING (term)
+    JOIN dft USING (term)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id),
+  rounded AS (
+    SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS score_micro
+    FROM scored)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+       score_micro
+FROM rounded
+ORDER BY score_micro DESC, doc_id
+LIMIT {k}"""
+
+
 def boolean_topk_sql(
     must: str = "",
     should: str = "",

@@ -11,6 +11,7 @@ small and total (any line parses to SOMETHING):
                               bare = should) when any +/- is present
 - ``pref*``                 → prefix search (single-token query)
 - ``term~`` / ``term~2``    → fuzzy, edit distance 1 / 2 (single-token)
+- ``term^2 other``          → BM25 with per-term boosts (idf scaling)
 - anything else             → standard BM25 top-k
 
 All routes return a normalized ``(doc_id, score)`` DataFrame ordered
@@ -28,6 +29,7 @@ from pyspark.sql import functions as F
 _PHRASE_RE = re.compile(r'^"(?P<body>[^"]*)"(?:~(?P<slop>\d+))?$')
 _FUZZY_RE = re.compile(r"^(?P<body>[^\s~*]+)~(?P<dist>\d+)?$")
 _PREFIX_RE = re.compile(r"^(?P<body>[^\s~*]+)\*$")
+_BOOST_RE = re.compile(r"^(?P<body>[^\s~*^]+)\^(?P<w>\d+(?:\.\d+)?)$")
 
 
 @dataclass
@@ -66,6 +68,17 @@ def parse_query(line: str) -> ParsedQuery:
             return ParsedQuery(
                 op="fuzzy", text=m.group("body"), dist=int(m.group("dist") or 1)
             )
+    if any(_BOOST_RE.match(t) for t in toks):
+        boosts: dict[str, float] = {}
+        bare = []
+        for t in toks:
+            m = _BOOST_RE.match(t)
+            if m:
+                boosts[m.group("body").lower()] = float(m.group("w"))
+                bare.append(m.group("body"))
+            else:
+                bare.append(t)
+        return ParsedQuery(op="boosted", text=" ".join(bare), clauses=boosts)
     return ParsedQuery(op="bm25", text=line)
 
 
@@ -95,6 +108,10 @@ def run_query(reader, line: str, k: int = 10) -> DataFrame:
         from .operators.prefix import fuzzy_search
 
         res = fuzzy_search(reader, q.text, q.dist, k).select("doc_id", "score")
+    elif q.op == "boosted":
+        res = reader.batch_search([("q", q.text)], k, boosts=q.clauses).select(
+            "doc_id", "score"
+        )
     else:
         res = reader.batch_search([("q", q.text)], k).select("doc_id", "score")
     return res.orderBy(F.desc("score"), F.asc("doc_id"))

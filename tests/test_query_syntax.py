@@ -81,3 +81,33 @@ def test_dispatch_matches_direct_calls(reader):
 def test_dispatch_is_total_on_junk(reader):
     for line in ["", "   ", '"', "~", "*", "+ -"]:
         assert run_query(reader, line, 5).count() >= 0  # parses + runs
+
+
+def test_boosted_matches_oracle_and_syntax(reader):
+    import duckdb
+
+    from search_spark.oracle_sql import bm25_boosted_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    boosts = {"order": 3.0, "fast": 0.5}
+    got = _ids(
+        reader.batch_search([("q", "order fast")], 10, boosts=boosts)
+        .select("doc_id", "score")
+    )
+    want = [(r[0], r[2]) for r in con.execute(bm25_boosted_sql("order fast", boosts, 10)).fetchall()]
+    assert got == want and len(got) == 10
+    # boosting changes the ranking vs plain BM25
+    plain = _ids(reader.batch_search([("q", "order fast")], 10).select("doc_id", "score"))
+    assert got != plain
+    # syntax route and parse
+    q = parse_query("order^3 fast^0.5")
+    assert q.op == "boosted" and q.clauses == boosts
+    assert _ids(run_query(reader, "order^3 fast^0.5", 10)) == got
+    # guards: non-positive boost
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        reader.batch_search([("q", "order")], 5, boosts={"order": 0.0})
