@@ -9,8 +9,8 @@ Commands: a query per line; ``:refresh`` re-opens the store's current
 snapshot (picks up new stream segments); ``:quit`` / EOF exits.
 
 Query syntax (search_spark/query_syntax.py): ``"exact phrase"``,
-``"near terms"~3``, ``+must -not should``, ``pref*``, ``term~2`` — any
-other line is a plain BM25 query.
+``"near terms"~3``, ``+must -not should``, ``pref*``, ``term~2``,
+``term^2 other`` (boost) — any other line is a plain BM25 query.
 
 Relevance buckets mirror example/main.go:44-54's ≥0.85 / ≥0.5 cut, applied
 to the score normalized by the batch's best hit (BM25 is unbounded, unlike
