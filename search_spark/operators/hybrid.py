@@ -34,6 +34,7 @@ def rrf_fuse_two(
     cosine: DataFrame,
     k: int = 10,
     k0: int = RRF_K0,
+    exclude: frozenset | None = None,
 ) -> DataFrame:
     """Fuse a BM25 top-k list and a cosine top-k list into one ranking.
 
@@ -47,9 +48,20 @@ def rrf_fuse_two(
     reciprocal is added exactly once in a FIXED order (deterministic
     doubles across engines; a sum() over unioned rows would leave the
     addition order to the aggregate).
+
+    DELETION CAVEAT: fusion consumes whatever lists the retrievers
+    produce.  The BM25 side respects index tombstones, but the ANN side
+    reads the embeddings table directly — a doc deleted from the text
+    index can resurface through its still-present vector.  Pass
+    ``exclude`` (e.g. ``reader.deleted``) to drop those ids from BOTH
+    lists before fusion; the durable fix is deleting the vectors too.
     """
     b = bm25.select("doc_id", F.col("rank").alias("r_bm25"))
     c = cosine.select("doc_id", F.col("rank").alias("r_cos"))
+    if exclude:
+        ids = sorted(int(d) for d in exclude)
+        b = b.filter(~F.col("doc_id").isin(ids))
+        c = c.filter(~F.col("doc_id").isin(ids))
     fused = (
         b.join(c, "doc_id", "full_outer")
         .withColumn(

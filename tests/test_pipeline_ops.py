@@ -617,3 +617,14 @@ def test_rrf_fuse_two_semantics(spark):
         if m1 == m2:
             assert d1 < d2
     assert len(got) == 4  # k truncation
+
+
+def test_rrf_exclude_drops_from_both_lists(spark):
+    from search_spark.operators.hybrid import rrf_fuse_two
+
+    bm = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    cs = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    out = {r["doc_id"] for r in rrf_fuse_two(bm, cs, k=10, exclude=frozenset({2, 4})).collect()}
+    assert out == {1, 3}  # 2 gone from both lists, 4 from the ANN side
+    base = {r["doc_id"] for r in rrf_fuse_two(bm, cs, k=10).collect()}
+    assert base == {1, 2, 3, 4}
