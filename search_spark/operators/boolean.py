@@ -246,21 +246,22 @@ def facet_counts(
         return spark.createDataFrame([], empty)
     ids = ids.cache()
     try:
-        from .phrase import MAX_BUCKET_LIST
+        from .phrase import BROADCAST_CANDIDATES_MAX, MAX_BUCKET_LIST
 
-        blist = (
-            ids.select("doc_bucket").distinct().limit(MAX_BUCKET_LIST + 1).collect()
+        per_bucket = (
+            ids.groupBy("doc_bucket").count().limit(MAX_BUCKET_LIST + 1).collect()
         )
-        if not blist:
+        if not per_bucket:
             return spark.createDataFrame([], empty)
         # past the cap the bucket list prunes nothing and would be
         # driver-sized (head-only queries touch ~every bucket) — scan
-        # unpruned and let the join shuffle instead of broadcasting
-        capped = len(blist) > MAX_BUCKET_LIST
-        buckets = None if capped else [int(r["doc_bucket"]) for r in blist]
+        # unpruned; broadcast is gated on MATCH rows, not bucket count
+        capped = len(per_bucket) > MAX_BUCKET_LIST
+        n_match = None if capped else sum(int(r["count"]) for r in per_bucket)
+        buckets = None if capped else [int(r["doc_bucket"]) for r in per_bucket]
         docs = reader.doc_source(buckets=buckets).select("doc_id", facet)
         match_ids = ids.select("doc_id")
-        if not capped:
+        if n_match is not None and n_match <= BROADCAST_CANDIDATES_MAX:
             match_ids = F.broadcast(match_ids)
         out = (
             docs.join(match_ids, "doc_id")

@@ -33,10 +33,13 @@ DECONTAM_W = 8
 
 
 def eval_shingles(eval_df: DataFrame, w: int = DECONTAM_W) -> DataFrame:
-    """(eval_id, shingle) distinct — the broadcast side."""
+    """(eval_id, shingle) distinct — the broadcast side.  The explicit
+    ``distinct`` matters for multi-row eval items: shingles_col dedups
+    only within a row, and duplicate (eval_id, shingle) pairs would
+    inflate n_shared past the true distinct-overlap count."""
     return eval_df.select(
         "eval_id", F.explode(shingles_col(tokens_col("text"), w)).alias("shingle")
-    )
+    ).distinct()
 
 
 def contamination_report(

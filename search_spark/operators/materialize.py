@@ -42,9 +42,14 @@ def materialize_training_corpus(
     min_quality_micro: int = DEFAULT_MIN_QUALITY,
     weights: dict[str, float] | None = None,
     salt: str = DEFAULT_SALT,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """(conv_id, turn_idx, split, seq_id, n_tokens, quality_micro) for
-    every surviving turn — the train-ready assignment table."""
+    every surviving turn — the train-ready assignment table.
+
+    ``cache_handle=[]`` receives the packing stage's persisted ranged
+    layout for the caller to unpersist after materializing (the
+    assign_doc_ids contract)."""
     toks = tokens_col("text")
     q = quality_cols(F.col("text"), toks)
     scored = transcripts.select(
@@ -63,9 +68,9 @@ def materialize_training_corpus(
     # per split — a training sequence never spans splits — via
     # pack_sequences' reset_col (range key (split, conv_id, turn_idx),
     # per-(partition, split) bases)
-    return pack_sequences(assigned, budget, reset_col="split").select(
-        "conv_id", "turn_idx", "split", "seq_id", "n_tokens", "quality_micro"
-    )
+    return pack_sequences(
+        assigned, budget, reset_col="split", cache_handle=cache_handle
+    ).select("conv_id", "turn_idx", "split", "seq_id", "n_tokens", "quality_micro")
 
 
 def materialize_summary(materialized: DataFrame) -> DataFrame:

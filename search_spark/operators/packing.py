@@ -35,6 +35,7 @@ def pack_sequences(
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
     reset_col: str | None = None,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Assign every turn to its training sequence: input columns plus
     ``n_tokens``, ``start_offset``, ``seq_id``, ``spans_boundary``.
@@ -45,7 +46,15 @@ def pack_sequences(
     the range key becomes (reset_col, *order_cols), the per-partition
     sums are keyed (partition, reset) so a partition straddling a reset
     boundary accumulates each side separately, and the bases ship back as
-    a broadcast-joined (partition, reset, base) lookup."""
+    a broadcast-joined (partition, reset, base) lookup.  Reset values
+    must be non-null (the bases join is an equality join).
+
+    The ranged intermediate is persisted — the sum job and the window job
+    must observe the same sampled range boundaries.  Pass
+    ``cache_handle=[]`` to receive the persisted DataFrame and
+    ``unpersist()`` it once the result is materialized (the
+    assign_doc_ids contract; long-lived callers must do this or cached
+    layouts accumulate)."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     spark = df.sparkSession
@@ -58,6 +67,8 @@ def pack_sequences(
     # ranged layout is persisted so the sum job and the window job observe
     # the same sampled boundaries
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    if cache_handle is not None:
+        cache_handle.append(with_pid)
     try:
         grp = ["_pid"] + ([reset_col] if reset_col else [])
         sums = with_pid.groupBy(*grp).agg(F.sum("n_tokens").alias("s")).collect()
@@ -65,14 +76,20 @@ def pack_sequences(
             # per-reset cumulative bases over partition order (range
             # partitioning keeps each reset value's rows contiguous and
             # pid-ordered; a boundary pid holds per-(pid, reset) rows)
+            if any(r[reset_col] is None for r in sums):
+                raise ValueError(
+                    f"pack_sequences reset_col {reset_col!r} contains NULLs — "
+                    "reset values must be non-null (bases join on equality)"
+                )
             acc_by_reset: dict = {}
             base_rows = []
             for r in sorted(sums, key=lambda r: (str(r[reset_col]), r["_pid"])):
                 key = r[reset_col]
                 base_rows.append((int(r["_pid"]), key, acc_by_reset.get(key, 0)))
                 acc_by_reset[key] = acc_by_reset.get(key, 0) + int(r["s"] or 0)
+            reset_type = df.schema[reset_col].dataType.simpleString()
             bases_df = spark.createDataFrame(
-                base_rows, f"_pid int, {reset_col} string, _base long"
+                base_rows, f"_pid int, {reset_col} {reset_type}, _base long"
             )
             with_base = with_pid.join(
                 F.broadcast(bases_df), ["_pid", reset_col]
@@ -112,9 +129,8 @@ def pack_sequences(
             )
             .drop("_pid", "_base")
         )
-        # materialization contract mirrors assign_doc_ids: the caller gets
-        # a plan over the persisted ranged layout; checkpointing/writing it
-        # releases the cache naturally at job end
+        # the caller's plan reads the persisted ranged layout; release it
+        # via cache_handle once materialized (assign_doc_ids contract)
         return out
     except Exception:
         with_pid.unpersist()

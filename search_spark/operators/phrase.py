@@ -278,28 +278,40 @@ def phrase_count(reader, phrase_text: str) -> DataFrame:
     cands = conjunctive_doc_ids(reader, terms)
     if cands is None:
         return spark.createDataFrame([(0, 0)], empty)
-    blist = (
-        cands.select("doc_bucket").distinct().limit(MAX_BUCKET_LIST + 1).collect()
-    )
-    if not blist:
-        return spark.createDataFrame([(0, 0)], empty)
-    capped = len(blist) > MAX_BUCKET_LIST
-    buckets = None if capped else [int(r["doc_bucket"]) for r in blist]
-    docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
-    toks = tokens_col("text")
-    cand_ids = cands.select("doc_id")
-    if not capped:
-        cand_ids = F.broadcast(cand_ids)
-    # no `ptf >= 1` FILTER here: Catalyst would push it (and the whole
-    # positional expression) through the join onto the corpus scan.  The
-    # conditional aggregate is equivalent (ptf ≥ 0) and keeps the tf
-    # evaluation post-join, on candidates only.
-    joined = docs.join(cand_ids, "doc_id").select(
-        phrase_tf_col(toks, terms).alias("ptf")
-    )
-    return joined.agg(
-        F.coalesce(
-            F.sum(F.when(F.col("ptf") >= 1, 1).otherwise(0)), F.lit(0)
-        ).cast("bigint").alias("n_docs"),
-        F.coalesce(F.sum("ptf"), F.lit(0)).cast("bigint").alias("n_occurrences"),
-    )
+    cands = cands.cache()
+    try:
+        per_bucket = (
+            cands.groupBy("doc_bucket").count().limit(MAX_BUCKET_LIST + 1).collect()
+        )
+        if not per_bucket:
+            return spark.createDataFrame([(0, 0)], empty)
+        capped = len(per_bucket) > MAX_BUCKET_LIST
+        n_cand = None if capped else sum(int(r["count"]) for r in per_bucket)
+        buckets = None if capped else [int(r["doc_bucket"]) for r in per_bucket]
+        docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
+        toks = tokens_col("text")
+        cand_ids = cands.select("doc_id")
+        # broadcast gated on CANDIDATE rows, not bucket count — a head
+        # phrase can pack millions of candidates into few buckets
+        if n_cand is not None and n_cand <= BROADCAST_CANDIDATES_MAX:
+            cand_ids = F.broadcast(cand_ids)
+        # no `ptf >= 1` FILTER here: Catalyst would push it (and the whole
+        # positional expression) through the join onto the corpus scan.
+        # The conditional aggregate is equivalent (ptf ≥ 0) and keeps the
+        # tf evaluation post-join, on candidates only.
+        joined = docs.join(cand_ids, "doc_id").select(
+            phrase_tf_col(toks, terms).alias("ptf")
+        )
+        row = joined.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ptf") >= 1, 1).otherwise(0)), F.lit(0)
+            ).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("ptf"), F.lit(0)).cast("bigint").alias("n_occurrences"),
+        ).collect()[0]
+        # eager 1-row result: lets the candidate cache release here instead
+        # of leaking past the (lazy) return
+        return spark.createDataFrame(
+            [(int(row["n_docs"]), int(row["n_occurrences"]))], empty
+        )
+    finally:
+        cands.unpersist()

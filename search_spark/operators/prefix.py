@@ -22,7 +22,7 @@ layout gives nearly for free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..analyzer import tokenize
@@ -65,8 +65,12 @@ def prefix_search(
     if not terms:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
     # expansions are analyzer tokens, so they round-trip through the
-    # batch scorer's tokenize unchanged
-    return reader.batch_search([("q", " ".join(terms))], k).drop("query_id")
+    # batch scorer's tokenize unchanged; column order pinned to match
+    # the empty path's schema
+    return (
+        reader.batch_search([("q", " ".join(terms))], k)
+        .select("doc_id", "rank", "score")
+    )
 
 
 def suggest_terms(
@@ -93,34 +97,57 @@ def suggest_terms(
 MAX_FUZZY_EXPANSIONS = 16
 
 
+def expand_fuzzy_multi(
+    reader,
+    tokens: list[str],
+    max_dist: int = 1,
+    max_expansions: int = MAX_FUZZY_EXPANSIONS,
+) -> dict[str, list[str]]:
+    """Per-token Levenshtein neighborhoods in ONE dictionary scan: the
+    (tiny) token set broadcast-joins the vocabulary under a
+    length-band + levenshtein predicate, then a per-token window keeps
+    the top ``max_expansions`` by (df DESC, term ASC).
+
+    Levenshtein can't push into parquet, but the dictionary is the
+    metadata table (parallel, columnar, tiny next to postings) and this
+    form scans it once for ANY number of query tokens.  At extreme vocab
+    scale an n-gram index over the dictionary would pre-select
+    candidates; not warranted here.
+    """
+    toks = sorted({t for t in tokens if t})
+    if not toks:
+        return {}
+    spark = reader.spark
+    tok_df = spark.createDataFrame([(t,) for t in toks], "qtok string")
+    cond = (
+        F.abs(F.length("term") - F.length("qtok")) <= max_dist
+    ) & (F.levenshtein(F.col("term"), F.col("qtok")) <= max_dist)
+    w = Window.partitionBy("qtok").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        reader._dict_df.join(F.broadcast(tok_df), cond)
+        .select("qtok", "term", "df")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .collect()
+    )
+    out: dict[str, list[str]] = {t: [] for t in toks}
+    for r in sorted(rows, key=lambda r: (r["qtok"], -int(r["df"]), r["term"])):
+        out[r["qtok"]].append(r["term"])
+    return out
+
+
 def expand_fuzzy(
     reader, term: str, max_dist: int = 1, max_expansions: int = MAX_FUZZY_EXPANSIONS
 ) -> list[str]:
     """Dictionary terms within Levenshtein distance ``max_dist`` of
     ``term`` (analyzer-normalized), top ``max_expansions`` by
-    (df DESC, term ASC).
-
-    The scan is a full-vocabulary predicate scan with a cheap
-    length-difference pre-filter — Levenshtein can't push into parquet,
-    but the dictionary is the metadata table (parallel, columnar, tiny
-    next to postings).  At extreme vocab scale an n-gram index over the
-    dictionary would pre-select candidates; not warranted here.
-    """
+    (df DESC, term ASC)."""
     toks = tokenize(term)
     if not toks:
         return []
-    norm = toks[0]
-    rows = (
-        reader._dict_df.filter(
-            (F.abs(F.length("term") - F.lit(len(norm))) <= max_dist)
-            & (F.levenshtein(F.col("term"), F.lit(norm)) <= max_dist)
-        )
-        .select("term", "df")
-        .orderBy(F.desc("df"), F.asc("term"))
-        .limit(max_expansions)
-        .collect()
+    return expand_fuzzy_multi(reader, [toks[0]], max_dist, max_expansions).get(
+        toks[0], []
     )
-    return [r["term"] for r in rows]
 
 
 def fuzzy_search(
@@ -136,9 +163,13 @@ def fuzzy_search(
     spark = reader.spark
     if k <= 0:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
-    expanded: set[str] = set()
-    for tok in sorted(set(tokenize(query_text))):
-        expanded.update(expand_fuzzy(reader, tok, max_dist, max_expansions))
+    per_tok = expand_fuzzy_multi(
+        reader, sorted(set(tokenize(query_text))), max_dist, max_expansions
+    )
+    expanded = sorted({t for terms in per_tok.values() for t in terms})
     if not expanded:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
-    return reader.batch_search([("q", " ".join(sorted(expanded)))], k).drop("query_id")
+    return (
+        reader.batch_search([("q", " ".join(expanded))], k)
+        .select("doc_id", "rank", "score")
+    )

@@ -72,7 +72,8 @@ def contamination_sql(
 WITH docs AS ({docs_sql}),
   ev AS ({eval_sql}),
   dsh AS (SELECT doc_id, unnest({_shingles_w(toks, w)}) AS shingle FROM docs),
-  esh AS (SELECT eval_id, unnest({_shingles_w(toks, w)}) AS shingle FROM ev)
+  esh AS (SELECT DISTINCT eval_id, shingle FROM
+            (SELECT eval_id, unnest({_shingles_w(toks, w)}) AS shingle FROM ev))
 SELECT dsh.doc_id, esh.eval_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM dsh JOIN esh USING (shingle)
 GROUP BY dsh.doc_id, esh.eval_id

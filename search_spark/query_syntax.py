@@ -69,15 +69,26 @@ def parse_query(line: str) -> ParsedQuery:
                 op="fuzzy", text=m.group("body"), dist=int(m.group("dist") or 1)
             )
     if any(_BOOST_RE.match(t) for t in toks):
+        from .analyzer import tokenize as _tok
+
+        # boost keys are ANALYZER tokens (a multi-token body like
+        # "data-base^3" boosts each of its tokens) and non-positive
+        # weights fall back to 1.0 — the parser stays total, never
+        # producing input batch_search would reject
         boosts: dict[str, float] = {}
         bare = []
         for t in toks:
             m = _BOOST_RE.match(t)
             if m:
-                boosts[m.group("body").lower()] = float(m.group("w"))
+                w = float(m.group("w"))
+                for term in _tok(m.group("body")):
+                    if w > 0:
+                        boosts[term] = w
                 bare.append(m.group("body"))
             else:
                 bare.append(t)
+        if not boosts:
+            return ParsedQuery(op="bm25", text=" ".join(bare))
         return ParsedQuery(op="boosted", text=" ".join(bare), clauses=boosts)
     return ParsedQuery(op="bm25", text=line)
 

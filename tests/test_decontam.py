@@ -87,3 +87,17 @@ def test_eval_side_is_broadcast(corpus):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_multi_row_eval_ids_count_distinct_overlap(spark, ddb, corpus):
+    """Two rows of one eval_id sharing shingles must not inflate n_shared
+    (review regression: eval_shingles needs a cross-row distinct)."""
+    docs, _ = corpus
+    text = docs.limit(1).collect()[0]["text"]
+    multi = spark.createDataFrame(
+        [(7, text), (7, text)], "eval_id bigint, text string"
+    )
+    single = spark.createDataFrame([(7, text)], "eval_id bigint, text string")
+    a = sorted(tuple(r) for r in contamination_report(docs, multi, 8, 1).collect())
+    b = sorted(tuple(r) for r in contamination_report(docs, single, 8, 1).collect())
+    assert a == b and len(a) > 0

@@ -111,3 +111,13 @@ def test_boosted_matches_oracle_and_syntax(reader):
 
     with _pytest.raises(ValueError):
         reader.batch_search([("q", "order")], 5, boosts={"order": 0.0})
+
+
+def test_boost_parse_edge_cases(reader):
+    # multi-token boost body boosts each analyzer token
+    q = parse_query("data-base^3 cache")
+    assert q.op == "boosted" and q.clauses == {"data": 3.0, "base": 3.0}
+    # zero weight falls back to plain bm25 (parser stays total)
+    q0 = parse_query("order^0")
+    assert q0.op == "bm25" and q0.text == "order"
+    assert run_query(reader, "order^0", 5).count() == 5  # no crash
