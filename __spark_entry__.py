@@ -328,6 +328,16 @@ def _q_boosted(spark, sf_dir):
     )
 
 
+def _q_page2(spark, sf_dir):
+    """Second result page (absolute ranks 11-20) — exact deep pagination."""
+    res = _wand_reader(spark, sf_dir).search_page(Q_MIX, offset=_TOPK, size=_TOPK)
+    return res.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
 def _q_suggest(spark, sf_dir):
     """Autocomplete suggestions off the dictionary (operators/prefix.py)."""
     from search_spark.operators.prefix import suggest_terms
@@ -987,6 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_queryset": _q_wand_queryset,
         "bm25_wand_compacted": _q_wand_compacted,
         "bm25_boosted": _q_boosted,
+        "bm25_page2": _q_page2,
         "phrase_topk": _q_phrase,
         "phrase_topk_long": _q_phrase_long,
         "phrase_count": _q_phrase_count,
@@ -1064,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_wand_compacted": osql.bm25_topk_sql(Q_MIX, _TOPK),
         "bm25_boosted": osql.bm25_boosted_sql(BOOST_Q, BOOSTS, _TOPK),
+        "bm25_page2": osql.bm25_page_sql(Q_MIX, _TOPK, _TOPK),
         "phrase_topk": osql.phrase_topk_sql(Q_PHRASE, _TOPK),
         "phrase_topk_long": osql.phrase_topk_sql(Q_PHRASE_LONG, _TOPK),
         "phrase_count": osql.phrase_count_sql(Q_PHRASE),

@@ -601,6 +601,27 @@ class IndexReader:
         """Single query → (rank, doc_id, score)."""
         return self.batch_search([("q", query_text)], k).drop("query_id")
 
+    def search_page(
+        self, query_text: str, offset: int = 0, size: int = 10
+    ) -> DataFrame:
+        """Deep pagination: results ranked offset+1 .. offset+size.
+
+        Exact-top-k semantics carry over: the engine retrieves the top
+        (offset+size) and slices — the only exact way to paginate a
+        rank-sensitive score (ranks stay globally consistent across
+        pages of the same snapshot).  Cost grows with the page depth,
+        which is the honest cost model of deep paging on any engine."""
+        if offset < 0 or size <= 0:
+            return self.spark.createDataFrame(
+                [], "rank int, doc_id bigint, score double"
+            )
+        return (
+            self.batch_search([("q", query_text)], offset + size)
+            .drop("query_id")
+            .filter(F.col("rank") > offset)
+            .select("rank", "doc_id", "score")
+        )
+
     def doc_source(self, buckets: list[int] | None = None) -> DataFrame:
         """The store's staged document table (batch docs ∪ stream docs).
 

@@ -432,6 +432,18 @@ ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
 
 
+def bm25_page_sql(
+    query_text: str, offset: int, size: int, docs_sql: str = DOCS_SQL
+) -> str:
+    """Pagination twin (wand.IndexReader.search_page): absolute ranks
+    offset+1 .. offset+size of the standard BM25 ordering."""
+    inner = bm25_topk_sql(query_text, offset + size, docs_sql)
+    return f"""
+SELECT doc_id, rank, score_micro FROM ({inner})
+WHERE rank > {offset}
+ORDER BY rank"""
+
+
 def bm25_boosted_sql(
     query_text: str,
     boosts: dict[str, float],

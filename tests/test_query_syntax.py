@@ -121,3 +121,29 @@ def test_boost_parse_edge_cases(reader):
     q0 = parse_query("order^0")
     assert q0.op == "bm25" and q0.text == "order"
     assert run_query(reader, "order^0", 5).count() == 5  # no crash
+
+
+def test_pagination_exact_and_consistent(reader):
+    import duckdb
+
+    from search_spark.oracle_sql import bm25_page_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    got = [
+        (r["doc_id"], r["rank"], round(r["score"] * 1e6))
+        for r in reader.search_page("order fast", offset=5, size=5).collect()
+    ]
+    want = [(r[0], r[1], r[2]) for r in con.execute(bm25_page_sql("order fast", 5, 5)).fetchall()]
+    assert got == want and [r[1] for r in got] == [6, 7, 8, 9, 10]
+    # pages tile the full ranking
+    p1 = reader.search_page("order fast", 0, 5).collect()
+    p2 = reader.search_page("order fast", 5, 5).collect()
+    full = reader.search("order fast", 10).collect()
+    assert [(r["rank"], r["doc_id"]) for r in p1 + p2] == [
+        (r["rank"], r["doc_id"]) for r in full
+    ]
+    assert reader.search_page("order fast", -1, 5).count() == 0
+    assert reader.search_page("order fast", 0, 0).count() == 0
