@@ -385,6 +385,38 @@ def _q_boolean_should(spark, sf_dir):
     )
 
 
+#: batched boolean clauses (VERDICT r3 #4: serving is batched — the batch
+#: shares one pruned scan + one exchange): conjunctive+exclusion,
+#: disjunctive+exclusion, and a pure must-only clause
+BOOL_BATCH = [
+    ("b1", BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT),
+    ("b2", "", BOOL_SHOULD, BOOL_MUST_NOT),
+    ("b3", "merge window", "", ""),
+]
+
+
+def _q_boolean_batch(spark, sf_dir):
+    """N boolean queries in ONE job (operators/boolean.boolean_batch):
+    shared pruned posting scan, per-bucket decode shared across clauses,
+    hierarchical exact top-k merge."""
+    from search_spark.operators.boolean import boolean_batch
+
+    res = boolean_batch(_wand_reader(spark, sf_dir), BOOL_BATCH, _TOPK)
+    micro = res.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+    # rank over ROUNDED scores (the boolean-entry convention: the oracle's
+    # rank is computed on score_micro) — k rows per query, driver-light
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "query_id", "doc_id", "rank", "score_micro"
+    )
+
+
 def _q_facet_role(spark, sf_dir):
     """Index-driven facet counts over the match set's role column."""
     from search_spark.operators.boolean import facet_counts
@@ -396,15 +428,36 @@ def _q_facet_role(spark, sf_dir):
 PACK_BUDGET = 256
 
 
+def _collect_release(df: DataFrame, handles: list) -> DataFrame:
+    """Materialize a gate-sized result, then unpersist the operator's
+    cached intermediates (the pack_sequences/assign_doc_ids cache_handle
+    contract): the persisted ranged layout must stay alive until the plan
+    is EXECUTED (the prefix-sum bases were computed against its sampled
+    range boundaries), and the verify harness re-runs these entries many
+    times per session — without the release, cached layouts accumulate
+    (ADVICE r3).  Gate results are driver-sized by contract."""
+    rows = df.collect()
+    out = (
+        df.sparkSession.createDataFrame(rows, schema=df.schema)
+        if rows
+        else df.sparkSession.createDataFrame([], df.schema)
+    )
+    for h in handles:
+        h.unpersist()
+    return out
+
+
 def _q_pack_assignments(spark, sf_dir):
     """Training-sequence packing (operators/packing.py): per-turn global
     token-offset chunking under the stable (conv_id, turn_idx) order."""
     from search_spark.operators.packing import pack_sequences
 
     tr = transcripts_from_documents(spark, sf_dir)
-    return pack_sequences(tr, PACK_BUDGET).select(
+    handles: list = []
+    out = pack_sequences(tr, PACK_BUDGET, cache_handle=handles).select(
         "conv_id", "turn_idx", "n_tokens", "start_offset", "seq_id", "spans_boundary"
     )
+    return _collect_release(out, handles)
 
 
 def _q_pack_summary(spark, sf_dir):
@@ -412,7 +465,11 @@ def _q_pack_summary(spark, sf_dir):
     from search_spark.operators.packing import pack_sequences, pack_summary
 
     tr = transcripts_from_documents(spark, sf_dir)
-    return pack_summary(pack_sequences(tr, PACK_BUDGET), PACK_BUDGET)
+    handles: list = []
+    out = pack_summary(
+        pack_sequences(tr, PACK_BUDGET, cache_handle=handles), PACK_BUDGET
+    )
+    return _collect_release(out, handles)
 
 
 #: materialization gate config: the quality floor sits at the corpus's
@@ -428,7 +485,11 @@ def _q_materialize(spark, sf_dir):
     from search_spark.operators.materialize import materialize_training_corpus
 
     tr = transcripts_from_documents(spark, sf_dir)
-    return materialize_training_corpus(tr, MAT_BUDGET, MAT_MIN_QUALITY)
+    handles: list = []
+    out = materialize_training_corpus(
+        tr, MAT_BUDGET, MAT_MIN_QUALITY, cache_handle=handles
+    )
+    return _collect_release(out, handles)
 
 
 def _q_materialize_summary(spark, sf_dir):
@@ -438,9 +499,11 @@ def _q_materialize_summary(spark, sf_dir):
     )
 
     tr = transcripts_from_documents(spark, sf_dir)
-    return materialize_summary(
-        materialize_training_corpus(tr, MAT_BUDGET, MAT_MIN_QUALITY)
+    handles: list = []
+    out = materialize_summary(
+        materialize_training_corpus(tr, MAT_BUDGET, MAT_MIN_QUALITY, cache_handle=handles)
     )
+    return _collect_release(out, handles)
 
 
 #: seed document for the find-similar gate entry
@@ -982,7 +1045,74 @@ def _q_bm25_rehydrated(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """GATE ROTATION (TESTDATA.md §rotation): the driver's correctness
+    gate runs the FIRST 50 entries of this dict, so order is evidence
+    policy, not style.  Round-4 order: (1) the 19 entries the r3 gate
+    never reached (tpch/media/text/eval/events/conversations/
+    dedup_embedding_cosine/bm25_topk_rehydrated), (2) this round's new +
+    behavior-touched entries (hierarchical merge, boolean batch, packing
+    frame, purge ledger, hybrid exclude), (3) fulltext entries sharing the
+    touched reader internals, then — PAST the 50-cap — entries with ≥2
+    consecutive green driver rounds and no code change this round (DF-
+    native bm25 twins, splits/sampling, simhash, ANN family).  Rotate
+    again next round so every entry re-earns a driver row within two
+    rounds."""
     return {
+        # -- (1) un-gated in r3: first claim on the 50 slots -------------
+        "tpch_pricing_summary": _q_pricing_summary,
+        "tpch_shipping_priority": _q_shipping_priority,
+        "tpch_revenue_by_nation": _q_revenue_by_nation,
+        "media_metadata": _q_media_meta,
+        "media_resize": _q_media_resize,
+        "media_features": _q_media_features,
+        "media_frame_sample": _q_frame_sample,
+        "text_token_counts": _q_token_counts,
+        "text_lang_id": _q_lang_id,
+        "text_quality": _q_quality,
+        "text_fingerprints": _q_fingerprints,
+        "text_top_terms": _q_top_terms,
+        "eval_pearson": _q_eval_pearson,
+        "eval_spearman": _q_eval_spearman,
+        "eval_mse": _q_eval_mse,
+        "events_windowed": _q_events_windowed,
+        "conversations_summary": _q_conversations_summary,
+        "dedup_embedding_cosine": _q_cos_near_dups,
+        "bm25_topk_rehydrated": _q_bm25_rehydrated,
+        # -- (2) new + touched this round --------------------------------
+        "boolean_batch": _q_boolean_batch,
+        "bm25_wand_head": _q_wand_head,
+        "bm25_wand_mix": _q_wand_mix,
+        "bm25_wand_batch": _q_wand_batch,
+        "bm25_wand_queryset": _q_wand_queryset,
+        "bm25_wand_compacted": _q_wand_compacted,
+        "bm25_boosted": _q_boosted,
+        "bm25_page2": _q_page2,
+        "bm25_tombstoned": _q_bm25_tombstoned,
+        "bm25_purged": _q_bm25_purged,
+        "boolean_topk": _q_boolean,
+        "boolean_should_topk": _q_boolean_should,
+        "facet_role_counts": _q_facet_role,
+        "prefix_topk": _q_prefix,
+        "fuzzy_topk": _q_fuzzy,
+        "suggest_terms": _q_suggest,
+        "more_like_this": _q_more_like_this,
+        "snippet_topk": _q_snippets,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
+        "pack_assignments": _q_pack_assignments,
+        "pack_summary": _q_pack_summary,
+        "materialize_corpus": _q_materialize,
+        "materialize_summary": _q_materialize_summary,
+        # -- (3) shared reader internals / fulltext family ----------------
+        "phrase_topk": _q_phrase,
+        "phrase_topk_long": _q_phrase_long,
+        "phrase_count": _q_phrase_count,
+        "near_topk": _q_near,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
+        # -------------------- 50-slot cap falls here --------------------
+        # rotated out (≥2 consecutive green driver rounds, untouched):
         "bm25_topk_head": _q_bm25_head,
         "bm25_topk_mix": _q_bm25_mix,
         "bm25_topk_rare": _q_bm25_rare,
@@ -991,67 +1121,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_dictionary": _q_dictionary,
         "corpus_stats": _q_corpus_stats,
         "doclens": _q_doclens,
-        "bm25_wand_head": _q_wand_head,
-        "bm25_wand_mix": _q_wand_mix,
-        "bm25_wand_batch": _q_wand_batch,
-        "bm25_wand_queryset": _q_wand_queryset,
-        "bm25_wand_compacted": _q_wand_compacted,
-        "bm25_boosted": _q_boosted,
-        "bm25_page2": _q_page2,
-        "phrase_topk": _q_phrase,
-        "phrase_topk_long": _q_phrase_long,
-        "phrase_count": _q_phrase_count,
-        "near_topk": _q_near,
-        "prefix_topk": _q_prefix,
-        "suggest_terms": _q_suggest,
-        "fuzzy_topk": _q_fuzzy,
-        "snippet_topk": _q_snippets,
-        "boolean_topk": _q_boolean,
-        "boolean_should_topk": _q_boolean_should,
-        "facet_role_counts": _q_facet_role,
-        "pack_assignments": _q_pack_assignments,
-        "pack_summary": _q_pack_summary,
-        "more_like_this": _q_more_like_this,
-        "bm25_tombstoned": _q_bm25_tombstoned,
-        "bm25_purged": _q_bm25_purged,
-        "contamination_report": _q_contamination,
         "split_assignments": _q_split_assignments,
         "split_summary": _q_split_summary,
         "hash_sample": _q_hash_sample,
-        "materialize_corpus": _q_materialize,
-        "materialize_summary": _q_materialize_summary,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram,
-        "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
+        "contamination_report": _q_contamination,
         "dedup_simhash_fingerprints": _q_simhash_fps,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_brute,
-        "hybrid_rrf_topk": _q_hybrid_rrf,
         "embedding_top_pairs": _q_cos_pairs,
         "embedding_top_pairs_brute": _q_cos_pairs_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
-        "text_token_counts": _q_token_counts,
-        "text_lang_id": _q_lang_id,
-        "text_quality": _q_quality,
-        "text_fingerprints": _q_fingerprints,
-        "text_top_terms": _q_top_terms,
-        "dedup_embedding_cosine": _q_cos_near_dups,
-        "media_metadata": _q_media_meta,
-        "media_resize": _q_media_resize,
-        "media_features": _q_media_features,
-        "media_frame_sample": _q_frame_sample,
-        "bm25_topk_rehydrated": _q_bm25_rehydrated,
-        "conversations_summary": _q_conversations_summary,
-        "events_windowed": _q_events_windowed,
-        "tpch_pricing_summary": _q_pricing_summary,
-        "tpch_shipping_priority": _q_shipping_priority,
-        "tpch_revenue_by_nation": _q_revenue_by_nation,
-        "eval_pearson": _q_eval_pearson,
-        "eval_spearman": _q_eval_spearman,
-        "eval_mse": _q_eval_mse,
     }
 
 
@@ -1090,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_should_topk": osql.boolean_topk_sql(
             "", BOOL_SHOULD, BOOL_MUST_NOT, _TOPK
         ),
+        "boolean_batch": osql.boolean_batch_sql(BOOL_BATCH, _TOPK),
         "facet_role_counts": osql.facet_counts_sql(
             BOOL_MUST,
             f"CASE WHEN (doc_id % {TURNS_PER_CONV}) % 2 = 0 "

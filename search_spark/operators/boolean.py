@@ -34,7 +34,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from .. import codec
 from ..analyzer import tokenize
@@ -45,8 +44,13 @@ _EMPTY_SCHEMA = "doc_id bigint, score double"
 
 def _decode_term(group: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Concat-decode one term's blocks within a bucket group →
-    (doc_ids, tfs, dls), doc_ids sorted ascending (block order is doc
-    order by construction, indexer.finalize)."""
+    (doc_ids, tfs, dls), doc_ids sorted ascending.
+
+    Blocks ARE doc-ordered within a segment (indexer.finalize), but
+    applyInPandas group rows carry no order guarantee — the explicit
+    first_doc sort below is what makes the documented sorted-output
+    invariant true (wand.TermCursor sorts for the same reason)."""
+    group = group.sort_values("first_doc")
     ids, tfs, dls = [], [], []
     for ids_b, tfs_b, dls_b, n, first in zip(
         group["doc_ids_delta"], group["tfs"], group["dls"],
@@ -114,6 +118,159 @@ def matching_doc_ids(reader, terms: list[str], mode: str = "all") -> DataFrame |
     )
 
 
+def _clause_topk(
+    by_term: dict,
+    must_live: list[str],
+    should_live: list[str],
+    mnot_live: list[str],
+    idf_b: dict[str, float],
+    avgdl: float,
+    k: int,
+    deleted: frozenset | None,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Per-bucket candidate algebra + BM25 for ONE clause set over the
+    bucket's decoded terms (``by_term``: term → (doc_ids, tfs, dls), each
+    sorted unique by doc_id).  Returns (doc_ids, scores) of the local
+    top-k, or None when the clause matches nothing in this bucket."""
+    if must_live:
+        musts = [by_term[t][0] for t in must_live if t in by_term]
+        if len(musts) < len(must_live):
+            return None
+        musts.sort(key=len)
+        cand = musts[0]
+        for ids in musts[1:]:
+            cand = np.intersect1d(cand, ids, assume_unique=True)
+            if cand.shape[0] == 0:
+                break
+    else:
+        unions = [by_term[t][0] for t in should_live if t in by_term]
+        if not unions:
+            return None
+        cand = np.unique(np.concatenate(unions))
+    if cand.shape[0] and mnot_live:
+        excl = [by_term[t][0] for t in mnot_live if t in by_term]
+        if excl:
+            cand = cand[~np.isin(cand, np.concatenate(excl), assume_unique=False)]
+    if deleted and cand.shape[0]:
+        cand = cand[~np.isin(cand, np.fromiter(deleted, dtype=np.int64))]
+    if cand.shape[0] == 0:
+        return None
+    # BM25 over scoring terms, ascending term order, accumulated by
+    # candidate position (cand and each posting list are sorted unique)
+    scoring = sorted(set(must_live) | set(should_live))
+    scores = np.zeros(cand.shape[0], dtype=np.float64)
+    for term in scoring:
+        got = by_term.get(term)
+        if got is None:
+            continue
+        docs, tf_i, dl_i = got
+        pos = np.searchsorted(cand, docs)
+        pos_c = np.minimum(pos, cand.shape[0] - 1)
+        mask = cand[pos_c] == docs
+        if not mask.any():
+            continue
+        tf = tf_i[mask].astype(np.float64)
+        dl = dl_i[mask].astype(np.float64)
+        idf = idf_b[term]
+        contrib = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        scores[pos_c[mask]] += contrib
+    keep = np.flatnonzero(scores > 0.0)
+    if keep.shape[0] == 0:
+        return None
+    if keep.shape[0] > k:
+        kth = -np.partition(-scores[keep], k - 1)[k - 1]
+        keep = keep[scores[keep] >= kth]
+    order = np.lexsort((cand[keep], -scores[keep]))[:k]
+    chosen = keep[order]
+    return cand[chosen], scores[chosen]
+
+
+def boolean_batch(
+    reader,
+    clauses: list[tuple[str, str, str, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Batched filtered retrieval: ``clauses`` =
+    [(query_id, must, should, must_not)] → (query_id, rank, doc_id, score).
+
+    Serving is batched (BENCH.md): the batch shares ONE partition-pruned,
+    term-pushed posting scan over the union of every clause's terms and
+    ONE exchange sized to the true bucket count; per bucket each term
+    decodes ONCE for the whole batch (head terms typically appear in many
+    clauses), then the clause algebra loops queries — the exact shape of
+    wand.batch_search.  Per-query semantics are unchanged from
+    boolean_search: an OOV must term, or no live (must ∪ should) term,
+    yields 0 rows for that query only.  The final merge is the
+    hierarchical exact top-k (wand.ranked_topk).
+    """
+    from .wand import ranked_topk
+
+    spark = reader.spark
+    empty = "query_id string, rank int, doc_id bigint, score double"
+    if k <= 0 or not clauses:
+        return spark.createDataFrame([], empty)
+    parsed: dict[str, tuple[list[str], list[str], list[str]]] = {}
+    for qid, must, should, must_not in clauses:
+        must_t = sorted(set(tokenize(must)))
+        should_t = sorted(set(tokenize(should)))
+        mnot_t = sorted(set(tokenize(must_not)) - set(must_t))
+        if must_t or should_t:
+            parsed[qid] = (must_t, should_t, mnot_t)
+    if not parsed:
+        return spark.createDataFrame([], empty)
+
+    all_terms = sorted({t for c in parsed.values() for part in c for t in part})
+    dict_rows = reader._dictionary_rows(all_terms)
+    specs: dict[str, tuple[list[str], list[str], list[str]]] = {}
+    needed: set[str] = set()
+    for qid, (must_t, should_t, mnot_t) in parsed.items():
+        if any(t not in dict_rows for t in must_t):
+            continue  # OOV must term → this query matches nothing
+        should_live = [t for t in should_t if t in dict_rows]
+        mnot_live = [t for t in mnot_t if t in dict_rows]
+        if not must_t and not should_live:
+            continue
+        specs[qid] = (must_t, should_live, mnot_live)
+        needed.update(must_t, should_live, mnot_live)
+    if not specs:
+        return spark.createDataFrame([], empty)
+
+    live = sorted(needed)
+    blocks = reader.candidate_blocks(
+        live, [dict_rows[t][1] for t in live]
+    )
+    avgdl = float(reader.stats["avgdl"])
+    idf_b = {t: idf for t, (idf, _) in dict_rows.items() if t in needed}
+    specs_b = dict(specs)
+    deleted = getattr(reader, "deleted", frozenset()) or None
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {t: _decode_term(g) for t, g in pdf.groupby("term")}
+        outs = []
+        for qid, (must_l, should_l, mnot_l) in specs_b.items():
+            got = _clause_topk(
+                by_term, must_l, should_l, mnot_l, idf_b, avgdl, k, deleted
+            )
+            if got is None:
+                continue
+            ids, scores = got
+            out = pd.DataFrame({"doc_id": ids, "score": scores})
+            out.insert(0, "query_id", qid)
+            outs.append(out)
+        if not outs:
+            return pd.DataFrame(columns=["query_id", "doc_id", "score"])
+        return pd.concat(outs, ignore_index=True)
+
+    n_buckets = -(-int(reader.stats["n_docs"]) // int(reader.stats["doc_bucket_size"]))
+    n_score = max(1, min(spark.sparkContext.defaultParallelism, max(1, n_buckets)))
+    local = (
+        blocks.repartition(n_score, "doc_bucket")
+        .groupBy("doc_bucket")
+        .applyInPandas(score_bucket, schema="query_id string, " + _EMPTY_SCHEMA)
+    )
+    return ranked_topk(local, k, n_buckets)
+
+
 def boolean_search(
     reader,
     must: str = "",
@@ -126,97 +283,11 @@ def boolean_search(
     A doc matches iff it contains ALL must terms and NO must_not term;
     with an empty must clause it matches iff it contains ≥1 should term.
     Score = BM25 over the distinct (must ∪ should) terms present.
+    Single-clause form of :func:`boolean_batch` (same plan, one query).
     """
-    spark = reader.spark
-    must_t = sorted(set(tokenize(must)))
-    should_t = sorted(set(tokenize(should)))
-    mnot_t = sorted(set(tokenize(must_not)) - set(must_t))
-    if k <= 0 or (not must_t and not should_t):
-        return spark.createDataFrame([], _EMPTY_SCHEMA)
-
-    all_terms = sorted(set(must_t) | set(should_t) | set(mnot_t))
-    dict_rows = reader._dictionary_rows(all_terms)
-    # OOV must term → nothing can match
-    if any(t not in dict_rows for t in must_t):
-        return spark.createDataFrame([], _EMPTY_SCHEMA)
-    must_live = must_t
-    should_live = [t for t in should_t if t in dict_rows]
-    mnot_live = [t for t in mnot_t if t in dict_rows]
-    if not must_live and not should_live:
-        return spark.createDataFrame([], _EMPTY_SCHEMA)
-    scoring = sorted(set(must_live) | set(should_live))
-    live = sorted(set(scoring) | set(mnot_live))
-
-    blocks = reader.candidate_blocks(live, [b for _, b in dict_rows.values()])
-    avgdl = float(reader.stats["avgdl"])
-    idf_b = {t: idf for t, (idf, _) in dict_rows.items() if t in scoring}
-    n_must = len(must_live)
-    must_set, mnot_set = set(must_live), set(mnot_live)
-    deleted = getattr(reader, "deleted", frozenset()) or None
-
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        by_term = {t: _decode_term(g) for t, g in pdf.groupby("term")}
-        # candidates: intersection of musts, else union of shoulds
-        if must_set:
-            musts = [by_term[t][0] for t in must_live if t in by_term]
-            if len(musts) < n_must:
-                return pd.DataFrame(columns=["doc_id", "score"])
-            musts.sort(key=len)
-            cand = musts[0]
-            for ids in musts[1:]:
-                cand = np.intersect1d(cand, ids, assume_unique=True)
-                if cand.shape[0] == 0:
-                    break
-        else:
-            unions = [by_term[t][0] for t in should_live if t in by_term]
-            if not unions:
-                return pd.DataFrame(columns=["doc_id", "score"])
-            cand = np.unique(np.concatenate(unions))
-        if cand.shape[0] and mnot_set:
-            excl = [by_term[t][0] for t in mnot_live if t in by_term]
-            if excl:
-                cand = cand[~np.isin(cand, np.concatenate(excl), assume_unique=False)]
-        if deleted and cand.shape[0]:
-            cand = cand[~np.isin(cand, np.fromiter(deleted, dtype=np.int64))]
-        if cand.shape[0] == 0:
-            return pd.DataFrame(columns=["doc_id", "score"])
-        # BM25 over scoring terms, ascending term order, accumulated by
-        # candidate position (cand and each posting list are sorted unique)
-        scores = np.zeros(cand.shape[0], dtype=np.float64)
-        for term in scoring:
-            got = by_term.get(term)
-            if got is None:
-                continue
-            docs, tf_i, dl_i = got
-            pos = np.searchsorted(cand, docs)
-            pos_c = np.minimum(pos, cand.shape[0] - 1)
-            mask = cand[pos_c] == docs
-            if not mask.any():
-                continue
-            tf = tf_i[mask].astype(np.float64)
-            dl = dl_i[mask].astype(np.float64)
-            idf = idf_b[term]
-            contrib = idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
-            scores[pos_c[mask]] += contrib
-        keep = np.flatnonzero(scores > 0.0)
-        if keep.shape[0] > k:
-            kth = -np.partition(-scores[keep], k - 1)[k - 1]
-            keep = keep[scores[keep] >= kth]
-        order = np.lexsort((cand[keep], -scores[keep]))[:k]
-        chosen = keep[order]
-        return pd.DataFrame({"doc_id": cand[chosen], "score": scores[chosen]})
-
-    n_buckets = -(-int(reader.stats["n_docs"]) // int(reader.stats["doc_bucket_size"]))
-    n_score = max(1, min(spark.sparkContext.defaultParallelism, max(1, n_buckets)))
-    local = (
-        blocks.repartition(n_score, "doc_bucket")
-        .groupBy("doc_bucket")
-        .applyInPandas(score_bucket, schema=_EMPTY_SCHEMA)
-    )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        boolean_batch(reader, [("q", must, should, must_not)], k)
+        .orderBy("rank")
         .select("doc_id", "score")
     )
 

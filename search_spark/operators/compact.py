@@ -146,6 +146,11 @@ def compact_index(spark: SparkSession, store: IndexStore) -> dict:
 def _compact_index_locked(spark: SparkSession, store: IndexStore) -> dict:
     from ..operators.wand import IndexReader
 
+    # Crash repair first: a prior compaction that died between recording
+    # its purge ledger and writing stats left the stats file stale —
+    # re-apply the ledger's recorded stats before anything reads them.
+    store.reconcile_purged_stats()
+
     # Fold any pending stream-batch term stats into the dictionary FIRST:
     # compaction absorbs those segments' postings into the new layout and
     # removes the per-batch dirs, so deltas not folded now would be
@@ -213,30 +218,49 @@ def _compact_index_locked(spark: SparkSession, store: IndexStore) -> dict:
         .collect()[0]
     )
 
-    # purge bookkeeping: new corpus stats (only EXISTING deleted docs
-    # subtract) and a rebuilt dictionary over the purged postings, staged
-    # before the commit.  The purge is not atomic across postings+
-    # dictionary+stats — but tombstones are cleared LAST, so at every
-    # crash point results still exclude the deleted docs, and a re-run
-    # converges (same recovery doctrine as the fold marker).
+    # purge bookkeeping: new corpus stats and a rebuilt dictionary over the
+    # purged postings, staged before the commit.  IDEMPOTENT: only ids NOT
+    # already in the purged ledger subtract from N/total_tokens — a crash
+    # after write_stats but before tombstone-file removal, or delete_docs
+    # re-called with already-purged ids, can never subtract the same doc
+    # twice (ADVICE r3).  Ledger entry (ids + implied stats) is written
+    # atomically BEFORE the stats file; reconcile_purged_stats repairs the
+    # stats file from it after any crash in between.  Tombstones are
+    # cleared LAST, so at every crash point results still exclude the
+    # deleted docs and a re-run converges.
     new_stats = None
     dict_tmp = None
+    new_ids: list[int] = []
     if deleted:
         from ..analyzer import tokens_col
         from ..functions.bm25 import idf_col
 
-        docs = reader.doc_source().select("doc_id", "text")
-        gone = (
-            docs.filter(F.col("doc_id").isin([int(d) for d in deleted]))
-            .agg(
-                F.count("*").alias("n"),
-                F.coalesce(F.sum(F.size(tokens_col("text"))), F.lit(0)).alias("toks"),
-            )
-            .collect()[0]
-        )
+        new_ids = sorted(set(deleted) - set(store.purged_ids()))
         old = store.stats()
-        n_docs_new = int(old["n_docs"]) - int(gone["n"])
-        total_new = int(old.get("total_tokens", 0)) - int(gone["toks"])
+        if new_ids:
+            # broadcast join, not an isin literal list: delete sets are
+            # blessed up to millions of ids — a multi-million-literal In
+            # expression would stall planning/codegen on the driver
+            ids_df = F.broadcast(
+                spark.createDataFrame([(int(d),) for d in new_ids], "doc_id bigint")
+            )
+            docs = reader.doc_source().select("doc_id", "text")
+            gone = (
+                docs.join(ids_df, "doc_id")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.coalesce(F.sum(F.size(tokens_col("text"))), F.lit(0)).alias("toks"),
+                )
+                .collect()[0]
+            )
+            n_docs_new = int(old["n_docs"]) - int(gone["n"])
+            total_new = int(old.get("total_tokens", 0)) - int(gone["toks"])
+        else:
+            # every tombstoned id was already purge-accounted (re-delivered
+            # tombstone files / repeat delete_docs): stats stay put, but the
+            # dictionary still rebuilds over the (idempotently) purged layout
+            n_docs_new = int(old["n_docs"])
+            total_new = int(old.get("total_tokens", 0))
         new_stats = dict(old)
         new_stats.update(
             {
@@ -300,6 +324,13 @@ def _compact_index_locked(spark: SparkSession, store: IndexStore) -> dict:
         )
 
     if deleted:
+        # ledger first (one atomic rename): newly-accounted ids + the
+        # stats they imply, tagged with this compaction's snapshot id —
+        # from here on the decrement can never be applied twice, and
+        # reconcile_purged_stats can re-apply it after any crash below.
+        if new_ids:
+            new_stats["purge_seq"] = int(sid)
+            store.record_purged(new_ids, new_stats, int(sid))
         # install the purged dictionary (staged rename, marker updated so
         # the fold-marker reconciler can't resurrect pre-purge stats),
         # write the reduced stats, then — last — clear the consumed

@@ -59,9 +59,16 @@ def rrf_fuse_two(
     b = bm25.select("doc_id", F.col("rank").alias("r_bm25"))
     c = cosine.select("doc_id", F.col("rank").alias("r_cos"))
     if exclude:
-        ids = sorted(int(d) for d in exclude)
-        b = b.filter(~F.col("doc_id").isin(ids))
-        c = c.filter(~F.col("doc_id").isin(ids))
+        # broadcast anti-join, not an isin literal list: delete sets are
+        # blessed up to millions of ids, where planning a multi-million-
+        # literal Catalyst In expression would stall/OOM the driver
+        ids_df = F.broadcast(
+            bm25.sparkSession.createDataFrame(
+                [(int(d),) for d in sorted(exclude)], "doc_id bigint"
+            )
+        )
+        b = b.join(ids_df, "doc_id", "left_anti")
+        c = c.join(ids_df, "doc_id", "left_anti")
     fused = (
         b.join(c, "doc_id", "full_outer")
         .withColumn(

@@ -108,12 +108,18 @@ def pack_sequences(
             )
             with_base = with_pid
             base_expr = F.element_at(base_map, F.col("_pid"))
-        w = Window.partitionBy(*grp).orderBy(
-            *[F.col(c).asc() for c in order_cols]
+        # ROW-based frame, not the default RANGE frame: with RANGE, rows
+        # tied on the order key would share one cumulative sum and produce
+        # overlapping start_offsets; ROWS BETWEEN ... AND 1 PRECEDING is
+        # the exclusive prefix sum the DuckDB oracle computes.
+        w = (
+            Window.partitionBy(*grp)
+            .orderBy(*[F.col(c).asc() for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
-        start = (F.sum("n_tokens").over(w) - F.col("n_tokens") + base_expr).cast(
-            "bigint"
-        )
+        start = (
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + base_expr
+        ).cast("bigint")
         # `div` (exact integer division) — float division would misround
         # offsets once the global token count passes 2^53
         out = (

@@ -306,6 +306,54 @@ def wand_topk(
 #: posting-count dispatch threshold between the two exact scorers
 WAND_MAX_POSTINGS = 1024
 
+#: bucket count above which the final per-query top-k merge goes
+#: hierarchical.  Below it, k×buckets candidate rows through one window
+#: partition is cheaper than an extra exchange; above it, the single
+#: partition becomes the scale-killer SCALE.md computes (head-only query
+#: at 10^12 docs: 15M buckets × k=10 = 150M rows through ONE task).
+MERGE_FANOUT = 64
+
+
+def ranked_topk(local: DataFrame, k: int, n_buckets: int) -> DataFrame:
+    """Exact hierarchical per-query top-k over per-bucket survivors.
+
+    ``local`` holds ≤ k rows per (query_id, doc_bucket) — each doc lives
+    in exactly one bucket, so rows are per-(query, doc) unique and any
+    global winner is a local winner in its group at every level.  The
+    distributed analogue of the reference's per-partition-heaps-then-
+    merge (/root/reference/index.go:63-86), in two bounded levels:
+
+    1. when ``n_buckets > MERGE_FANOUT``: group survivors into
+       g = ⌈√n_buckets⌉ merge groups by doc_id hash and keep the
+       per-(query, group) top-k — a PARTITIONED window, parallelism
+       queries × g, ≤ k·(n_buckets/g) ≈ k·√B rows per window partition;
+    2. final per-query rank over ≤ k·g ≈ k·√B rows.
+
+    Worst case per task thus grows as k·√buckets instead of k·buckets —
+    the 150M-row head-query case becomes ~39k rows/task.
+    """
+    if n_buckets > MERGE_FANOUT:
+        import math
+
+        g = math.isqrt(max(0, n_buckets - 1)) + 1
+        pre = Window.partitionBy("query_id", "_mg").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        local = (
+            local.withColumn(
+                "_mg", F.pmod(F.xxhash64("doc_id"), F.lit(g)).cast("int")
+            )
+            .withColumn("_pr", F.row_number().over(pre))
+            .filter(F.col("_pr") <= k)
+            .drop("_mg", "_pr")
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
 
 def dense_topk(
     blocks_by_term: dict[str, pd.DataFrame],
@@ -590,12 +638,7 @@ class IndexReader:
             .groupBy("doc_bucket")
             .applyInPandas(score_bucket, schema=RESULT_SCHEMA)
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            local.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "rank", "doc_id", "score")
-        )
+        return ranked_topk(local, k, n_buckets)
 
     def search(self, query_text: str, k: int = 10) -> DataFrame:
         """Single query → (rank, doc_id, score)."""

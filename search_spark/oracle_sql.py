@@ -541,6 +541,22 @@ ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
 
 
+def boolean_batch_sql(
+    clauses: list[tuple[str, str, str, str]],
+    k: int = 10,
+    docs_sql: str = DOCS_SQL,
+) -> str:
+    """Batched boolean retrieval (operators/boolean.boolean_batch twin):
+    per-clause boolean_topk_sql results unioned under their query_id —
+    (query_id, doc_id, rank, score_micro)."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id, rank, score_micro\n"
+        f"FROM ({boolean_topk_sql(must, should, must_not, k, docs_sql)})"
+        for qid, must, should, must_not in clauses
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def facet_counts_sql(
     query_text: str,
     facet_expr: str,

@@ -348,6 +348,63 @@ class IndexStore:
 
         shutil.rmtree(self.tombstones_path(), ignore_errors=True)
 
+    # ---- purged ledger (physical deletes already applied to stats) ----
+    def purged_path(self) -> str:
+        return os.path.join(self.root, "purged")
+
+    def purged_ids(self) -> frozenset:
+        """doc_ids whose stats decrement has already been RECORDED by a
+        past compaction — the idempotency ledger for the purge path: a
+        tombstone id in this set must never subtract from N/total_tokens
+        again (re-delivered tombstone files, delete_docs re-called with
+        already-purged ids, crash-rerun compactions)."""
+        root = self.purged_path()
+        if not os.path.exists(root):
+            return frozenset()
+        out: set[int] = set()
+        for name in sorted(os.listdir(root)):
+            if name.endswith(".json"):
+                data = _read_json(os.path.join(root, name), {})
+                out.update(int(d) for d in data.get("doc_ids", []))
+        return frozenset(out)
+
+    def record_purged(self, doc_ids, stats: dict, seq: int) -> None:
+        """Atomically record a purge: the consumed ids AND the post-purge
+        stats they imply, tagged ``seq`` (the purge's snapshot id).  ONE
+        rename makes both durable together, so every crash point is
+        recoverable: ledger absent → nothing was subtracted, recompute;
+        ledger present but stats file stale → reconcile_purged_stats
+        re-applies the recorded stats (idempotent)."""
+        os.makedirs(self.purged_path(), exist_ok=True)
+        _write_json_atomic(
+            os.path.join(self.purged_path(), f"purge-{seq}.json"),
+            {"doc_ids": sorted(int(d) for d in doc_ids), "stats": stats, "seq": seq},
+        )
+
+    def reconcile_purged_stats(self) -> bool:
+        """Crash repair: if the latest purge ledger entry is newer than the
+        stats file's ``purge_seq`` (compaction died between record_purged
+        and write_stats), re-apply the recorded stats.  Returns True when
+        a repair was written.  Safe to call any time — later stream folds
+        rebuild stats from the ledger-repaired values and carry purge_seq
+        forward."""
+        root = self.purged_path()
+        if not os.path.exists(root):
+            return False
+        latest: dict | None = None
+        for name in sorted(os.listdir(root)):
+            if name.endswith(".json"):
+                data = _read_json(os.path.join(root, name), {})
+                if latest is None or int(data.get("seq", 0)) > int(latest.get("seq", 0)):
+                    latest = data
+        if not latest or "stats" not in latest:
+            return False
+        cur = _read_json(self.stats_path) or {}
+        if int(cur.get("purge_seq", 0)) >= int(latest.get("seq", 0)):
+            return False
+        self.write_stats(latest["stats"])
+        return True
+
     # ---- stats ----
     def write_stats(self, stats: dict) -> None:
         _write_json_atomic(self.stats_path, stats)

@@ -104,6 +104,52 @@ def test_boolean_plan_is_pruned(reader):
     assert "term_bucket" in plan
 
 
+BATCH_CLAUSES = [
+    ("b1", "order fast", "", ""),
+    ("b2", "order", "scan filter", "fast"),
+    ("b3", "", "scan filter table", "the"),
+    ("b4", "order zzq_oov", "", ""),  # OOV must → 0 rows for b4 ONLY
+]
+
+
+def test_boolean_batch_matches_oracle(reader, ddb):
+    """N clauses, ONE job — per-query results identical to the per-clause
+    oracle union AND to the single-clause boolean_search twin."""
+    from search_spark.operators.boolean import boolean_batch
+    from search_spark.oracle_sql import boolean_batch_sql
+
+    res = boolean_batch(reader, BATCH_CLAUSES, 10)
+    got = [
+        (r["query_id"], r["doc_id"], r["rank"], round(r["score"] * 1e6))
+        for r in res.orderBy("query_id", "rank").collect()
+    ]
+    want = [
+        tuple(r)
+        for r in ddb.execute(
+            "SELECT query_id, doc_id, rank, score_micro FROM ("
+            + boolean_batch_sql(BATCH_CLAUSES, 10)
+            + ") ORDER BY query_id, rank"
+        ).fetchall()
+    ]
+    assert got == want and len(got) > 0
+    assert not any(q == "b4" for q, *_ in got)  # OOV must query is empty
+    for qid, m, s, n in BATCH_CLAUSES[:3]:
+        single = [
+            (r["doc_id"], round(r["score"] * 1e6))
+            for r in boolean_search(reader, m, s, n, 10).collect()
+        ]
+        batch = [(d, sm) for q, d, _, sm in got if q == qid]
+        assert single == batch, qid
+
+
+def test_boolean_batch_guards(reader, spark):
+    from search_spark.operators.boolean import boolean_batch
+
+    assert boolean_batch(reader, [], 10).count() == 0
+    assert boolean_batch(reader, BATCH_CLAUSES, 0).count() == 0
+    assert boolean_batch(reader, [("e", "", "", "the")], 10).count() == 0
+
+
 def test_more_like_this_matches_oracle(reader, ddb):
     from search_spark.operators.keywords import more_like_this
     from search_spark.oracle_sql import more_like_this_sql

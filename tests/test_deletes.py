@@ -203,3 +203,62 @@ def test_purge_on_streamed_store_survives_marker_reconcile(spark, tmp_path):
     reader = IndexReader(spark, store)
     res = reader.batch_search([("q", "the fast")], 5).drop("query_id").collect()
     assert all(r["doc_id"] not in set(dele) for r in res)
+
+
+def test_purge_stats_idempotent_on_redelivered_tombstones(spark, store, ddb):
+    """ADVICE r3 (medium): a crash after write_stats but before the
+    consumed tombstone files are removed re-delivers the same ids to the
+    next compaction, and delete_docs re-called with already-purged ids
+    adds them back — in both cases the stats decrement must NOT apply a
+    second time (the purged/ ledger is the idempotency record)."""
+    import json
+    import os
+
+    dele = _deleted(spark)
+    store.delete_docs(dele)
+    compact_index(spark, store)
+    s1 = store.stats()
+
+    # crash window: resurrect the consumed tombstone file verbatim
+    os.makedirs(store.tombstones_path(), exist_ok=True)
+    with open(os.path.join(store.tombstones_path(), "delete-999.json"), "w") as f:
+        json.dump({"doc_ids": dele}, f)
+    compact_index(spark, store)
+    s2 = store.stats()
+    assert (s2["n_docs"], s2["total_tokens"]) == (s1["n_docs"], s1["total_tokens"])
+
+    # repeat delete_docs with a subset of already-purged ids: still no-op
+    store.delete_docs(dele[:10])
+    compact_index(spark, store)
+    s3 = store.stats()
+    assert (s3["n_docs"], s3["total_tokens"]) == (s1["n_docs"], s1["total_tokens"])
+
+    # and the store still answers rank-identically to the reduced oracle
+    reader = IndexReader(spark, store)
+    got = _ids(reader.batch_search([("q", Q)], 10).drop("query_id").orderBy("rank"))
+    want = [
+        (r[0], r[2])
+        for r in ddb.execute(
+            bm25_topk_sql(Q, 10, docs_sql=docs_sql_excluding(PRED))
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_reconcile_purged_stats_repairs_crash_window(spark, store):
+    """Crash between record_purged and write_stats: the ledger entry is
+    newer than the stats file — reconcile_purged_stats re-applies the
+    recorded stats, and is a no-op once they match."""
+    dele = _deleted(spark)
+    store.delete_docs(dele)
+    compact_index(spark, store)
+    good = store.stats()
+    assert good.get("purge_seq")  # the purge stamped its snapshot id
+
+    stale = dict(good)
+    stale["n_docs"] = good["n_docs"] + len(dele)  # pre-purge value
+    stale.pop("purge_seq", None)
+    store.write_stats(stale)
+    assert store.reconcile_purged_stats() is True
+    assert store.stats() == good
+    assert store.reconcile_purged_stats() is False  # already applied
