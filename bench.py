@@ -254,6 +254,17 @@ def run_default(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         facet_counts(reader, "table scan", facet="role").count()
         ft["facets"] = round(time.perf_counter() - t0, 4)
+        # head-only stress (VERDICT r3 #3): every term near-universal in the
+        # corpus, so candidate sets ≈ the whole corpus and the final top-k
+        # merge is maximally loaded — the one query shape where the
+        # hierarchical merge (wand.ranked_topk) earns its keep.  'spark'
+        # and 'window' each occur in ~9.1k positions over 5k docs.
+        t0 = time.perf_counter()
+        phrase_search(reader, "spark window", TOPK).count()
+        ft["head_only_phrase"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        boolean_search(reader, "spark", "window merge table", "", TOPK).count()
+        ft["head_only_boolean"] = round(time.perf_counter() - t0, 4)
         steal["fulltext"] = steal_frac(s0, cpu_steal_sample())
         out["_fulltext"] = ft
 
@@ -333,6 +344,38 @@ def run_pipeline_ops(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     sim.cosine_top_pairs_lsh(emb, 50, dim=64, tables=8).count()
     out["embedding_top_pairs"] = round(time.perf_counter() - t0, 4)
+
+    # composed training-corpus materialization (VERDICT r3 #6) — the one
+    # pipeline a real pretraining run calls end-to-end.  Per-stage split
+    # via cumulative prefixes of the same lazy plan (each prefix re-runs
+    # the earlier stages, so stage cost = prefix delta, clamped at 0 for
+    # timer noise); 'total' is the end-to-end wall the run actually pays.
+    from search_spark.corpus import transcripts_from_documents
+    from search_spark.operators.materialize import (
+        dedup_keeper_stage,
+        materialize_training_corpus,
+        quality_stage,
+    )
+
+    tr = transcripts_from_documents(spark, sf_dir)
+    t0 = time.perf_counter()
+    quality_stage(tr).count()
+    t_q = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dedup_keeper_stage(quality_stage(tr)).count()
+    t_d = time.perf_counter() - t0
+    handle: list = []
+    t0 = time.perf_counter()
+    materialize_training_corpus(tr, cache_handle=handle).count()
+    t_all = time.perf_counter() - t0
+    for cached in handle:
+        cached.unpersist()
+    out["materialize"] = {
+        "quality": round(t_q, 4),
+        "dedup_keeper": round(max(0.0, t_d - t_q), 4),
+        "split_pack": round(max(0.0, t_all - t_d), 4),
+        "total": round(t_all, 4),
+    }
     return out
 
 
@@ -616,6 +659,142 @@ def main_scaling() -> None:
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# --skew: uniform vs deliberately-skewed corpus at the same scale
+# ---------------------------------------------------------------------------
+
+SKEW_CONVS = int(os.environ.get("SPARK_GRAFT_SKEW_CONVS", "8000"))
+
+#: skewed-corpus query set: the uniform set plus hot-term shapes (the
+#: 50%-df term alone, hot+mid, and the mega-conv's head phrase terms)
+SKEW_QUERIES = {
+    **SYN_QUERIES,
+    "s_hot": "skewterm",
+    "s_hot_mix": "skewterm w0050",
+    "s_mega_head": "the merge window",
+}
+
+
+def _skew_variant(spark, corpus_path: str, queries: dict[str, str]) -> dict:
+    """Build + batch-query + near-dup cluster one corpus variant; every
+    number is per-unit-of-work so uniform and skewed compare directly."""
+    from pyspark.sql import functions as F
+
+    from search_spark.operators.cluster import dup_clusters
+    from search_spark.operators.dedup import minhash_lsh_pairs
+    from search_spark.operators.docids import assign_doc_ids
+
+    tr = spark.read.parquet(corpus_path)
+    workdir = tempfile.mkdtemp(prefix="bench_skew_idx_")
+    try:
+        reader, n_docs, build_s = build_wand_index(spark, tr, workdir, n_units=4, unit_parallelism=8)
+        # artifact-level proof of the salting bound: the largest
+        # (term, doc_bucket) reducer group in the persisted layout
+        posts = reader.store.load_postings_df(spark)
+        worst = (
+            posts.groupBy("term", "doc_bucket")
+            .agg(F.sum("n_docs").alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        reader.batch_search([("warmup", "the w0001")], TOPK).count()
+        t0 = time.perf_counter()
+        for _ in range(QUERY_REPS):
+            reader.batch_search(list(queries.items()), TOPK).count()
+        query_s = time.perf_counter() - t0
+
+        handle: list = []
+        docs = assign_doc_ids(tr, cache_handle=handle).select("doc_id", "text")
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(docs)
+        n_pairs = pairs.persist().count()
+        clusters = dup_clusters(pairs)
+        n_clustered = clusters.count()
+        giant = (
+            clusters.groupBy("cluster_id").count().agg(F.max("count")).first()[0]
+            if n_clustered
+            else 0
+        )
+        cluster_s = time.perf_counter() - t0
+        pairs.unpersist()
+        for cached in handle:
+            cached.unpersist()
+        nq = QUERY_REPS * len(queries)
+        return {
+            "n_docs": n_docs,
+            "build_secs": round(build_s, 2),
+            "build_turns_per_sec": round(n_docs / build_s, 1),
+            "max_reducer_group": int(worst),
+            "doc_bucket_size": reader.store.doc_bucket_size,
+            "query_secs": round(query_s, 2),
+            "queries_per_sec": round(nq / query_s, 2),
+            "cluster_secs": round(cluster_s, 2),
+            "n_dup_pairs": n_pairs,
+            "n_clustered_docs": n_clustered,
+            "giant_cluster": int(giant),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main_skew() -> None:
+    """SKEW.json (VERDICT r3 #5): the SAME jobs over a uniform corpus and a
+    deliberately skewed one (one conv = 10% of turns with near-identical
+    texts, one term in 50% of docs — corpus.generate_skewed_spark).  The
+    salted (term × doc-range) shuffle claim passes if the skewed build's
+    per-turn throughput stays within ~2× of uniform, every reducer group
+    stays ≤ doc_bucket_size, hot-term queries stay interactive, and the
+    giant near-dup component clusters without blowup."""
+    corpus_dir = tempfile.mkdtemp(prefix="bench_skewcorp_")
+    spark = make_spark(CPUS, app="bench-skew")
+    try:
+        from search_spark.corpus import generate_skewed_spark, generate_spark
+
+        uni_path = os.path.join(corpus_dir, "uniform.parquet")
+        skw_path = os.path.join(corpus_dir, "skewed.parquet")
+        _mark(f"generating uniform + skewed corpora ({SKEW_CONVS} convs)")
+        generate_spark(spark, SKEW_CONVS, partitions=64).write.parquet(uni_path)
+        generate_skewed_spark(spark, SKEW_CONVS, partitions=64).write.parquet(skw_path)
+
+        _mark("uniform variant")
+        s0 = cpu_steal_sample()
+        uni = _skew_variant(spark, uni_path, SYN_QUERIES)
+        uni["steal"] = steal_frac(s0, cpu_steal_sample())
+        _mark("skewed variant")
+        s0 = cpu_steal_sample()
+        skw = _skew_variant(spark, skw_path, SKEW_QUERIES)
+        skw["steal"] = steal_frac(s0, cpu_steal_sample())
+
+        report = {
+            "metric": "skew_stress_uniform_vs_skewed",
+            "corpus_convs": SKEW_CONVS,
+            "cpus": int(CPUS),
+            "uniform": uni,
+            "skewed": skw,
+            "ratios": {
+                "build_per_turn": round(
+                    uni["build_turns_per_sec"] / skw["build_turns_per_sec"], 3
+                ),
+                "query_per_query": round(
+                    uni["queries_per_sec"] / skw["queries_per_sec"], 3
+                ),
+                "cluster_per_doc": round(
+                    (skw["cluster_secs"] / skw["n_docs"])
+                    / (uni["cluster_secs"] / uni["n_docs"]),
+                    3,
+                ),
+            },
+        }
+        print(json.dumps(report))
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SKEW.json")
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1)
+        _mark(f"skew report written to {path}")
+    finally:
+        spark.stop()
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+
+
 def _write_scaling_artifact(r: dict) -> None:
     """Write the raw scaling report next to BENCH.md (which is curated by
     hand — a generated overwrite would clobber the round-over-round
@@ -635,5 +814,7 @@ if __name__ == "__main__":
         main_scaling_level(int(sys.argv[i + 1]), sys.argv[i + 2])
     elif "--scaling" in sys.argv:
         main_scaling()
+    elif "--skew" in sys.argv:
+        main_skew()
     else:
         main_default()

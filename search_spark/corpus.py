@@ -149,6 +149,133 @@ def generate_spark(spark: SparkSession, n_convs: int, partitions: int | None = N
 
 
 # ---------------------------------------------------------------------------
+# Deliberately skewed corpus (VERDICT r3 #5): the uniform generator above is
+# near-Zipf but has no pathological key — this variant plants the two skew
+# shapes a 100 TB transcript table actually exhibits, so the salted
+# (term × doc-range) shuffle claim is validated under REAL skew, not assumed:
+#
+#   * one mega-conversation holding ``mega_frac`` (default 10%) of ALL turns,
+#     its texts near-identical (shared prefix + per-turn suffix) — stresses
+#     (a) doc-range salting of a single conv's postings and (b) the
+#     connected-components keeper election with one giant near-dup cluster;
+#   * one hot term (``skewterm``) planted in ``hot_frac`` (default 50%) of
+#     ALL turns — stresses per-term posting-list bounding (the reference's
+#     design cap is exactly this shape: /root/reference/README.md:30).
+#
+# Both generators stay pure functions of (conv ordinal, turn_idx) so the
+# corpus is identical at any parallelism — required for the N-vs-4N runs.
+# ---------------------------------------------------------------------------
+
+SKEW_MEGA_CONV = 0  # the mega-conversation's ordinal
+SKEW_HOT_TERM = "skewterm"
+
+
+def _hot(conv: int, t: int, hot_frac: float) -> bool:
+    h = ((conv * 1_000_003 + t) * 2654435761 + 97) % (2**32)
+    return h / 2**32 < hot_frac
+
+
+def skew_mega_turns(n_convs: int, mega_frac: float = 0.10) -> int:
+    """Turns in the mega-conv so it is ``mega_frac`` of the TOTAL corpus."""
+    normal = sum(n_turns(c) for c in range(1, n_convs))
+    return max(2, int(normal * mega_frac / (1.0 - mega_frac)))
+
+
+def gen_skew_conv(
+    conv: int, n_convs: int, mega_frac: float = 0.10, hot_frac: float = 0.50
+) -> list[dict]:
+    """Skewed-corpus turns for conversation ``conv`` (pure function)."""
+    if conv != SKEW_MEGA_CONV:
+        rows = gen_conv(conv)
+        for r in rows:
+            if _hot(conv, r["turn_idx"], hot_frac):
+                r["text"] = r["text"] + " " + SKEW_HOT_TERM
+        return rows
+    # mega-conv: near-identical turns — 14 shared tokens + 2 distinguishing
+    base = "the merge window of a stream table is hashed by the fast scan"
+    rows = []
+    for t in range(skew_mega_turns(n_convs, mega_frac)):
+        text = f"{base} v{t % 7} u{t:06d}"
+        if _hot(conv, t, hot_frac):
+            text += " " + SKEW_HOT_TERM
+        rows.append(
+            {
+                "conv_id": conv_name(conv),
+                "turn_idx": t,
+                "role": "user" if t % 2 == 0 else "assistant",
+                "text": text,
+                "tool": None,
+                "ts": EPOCH + _dt.timedelta(minutes=t),
+            }
+        )
+    return rows
+
+
+def generate_skewed_pandas(
+    n_convs: int, mega_frac: float = 0.10, hot_frac: float = 0.50
+) -> pd.DataFrame:
+    rows: list[dict] = []
+    for c in range(n_convs):
+        rows.extend(gen_skew_conv(c, n_convs, mega_frac, hot_frac))
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def generate_skewed_spark(
+    spark: SparkSession,
+    n_convs: int,
+    partitions: int | None = None,
+    mega_frac: float = 0.10,
+    hot_frac: float = 0.50,
+) -> DataFrame:
+    """Distributed skewed generation.  The mega-conv alone can exceed one
+    task's fair share, so IT is generated by turn-range tasks (conv ordinal
+    −1 sentinel rows carry a turn range) while normal convs use the same
+    one-task-one-conv-range layout as :func:`generate_spark`."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    mega_turns = skew_mega_turns(n_convs, mega_frac)
+    # normal convs 1..n_convs-1 as ids ≥ 1; mega-conv turn-ranges as
+    # negative ids -(1+range_idx), each covering `span` turns
+    span = max(256, mega_turns // max(1, partitions))
+    n_ranges = (mega_turns + span - 1) // span
+    ids = spark.range(1, n_convs, 1, min(partitions, max(1, n_convs - 1))).union(
+        spark.range(-n_ranges, 0, 1, n_ranges)
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = "the merge window of a stream table is hashed by the fast scan"
+        for b in batches:
+            out: list[dict] = []
+            for raw in b["id"].tolist():
+                c = int(raw)
+                if c >= 1:
+                    out.extend(gen_skew_conv(c, n_convs, mega_frac, hot_frac))
+                    continue
+                ridx = -c - 1  # mega-conv turn range
+                for t in range(ridx * span, min((ridx + 1) * span, mega_turns)):
+                    text = f"{base} v{t % 7} u{t:06d}"
+                    if _hot(SKEW_MEGA_CONV, t, hot_frac):
+                        text += " " + SKEW_HOT_TERM
+                    out.append(
+                        {
+                            "conv_id": conv_name(SKEW_MEGA_CONV),
+                            "turn_idx": t,
+                            "role": "user" if t % 2 == 0 else "assistant",
+                            "text": text,
+                            "tool": None,
+                            "ts": EPOCH + _dt.timedelta(minutes=t),
+                        }
+                    )
+            if out:
+                df = pd.DataFrame(out)
+                df["turn_idx"] = df["turn_idx"].astype("int32")
+                yield df
+
+    return ids.mapInPandas(_gen, schema=TRANSCRIPT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Transcripts derived from the driver's `documents` table.
 #
 # The driver's correctness gate (CORRECTNESS_r{N}.json) compares Spark

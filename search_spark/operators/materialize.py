@@ -36,6 +36,38 @@ from .splits import DEFAULT_SALT, split_col
 DEFAULT_MIN_QUALITY = 100_000
 
 
+def quality_stage(
+    transcripts: DataFrame, min_quality_micro: int = DEFAULT_MIN_QUALITY
+) -> DataFrame:
+    """Stage 1: per-turn quality scoring + composite floor (narrow, JVM-only)."""
+    toks = tokens_col("text")
+    q = quality_cols(F.col("text"), toks)
+    scored = transcripts.select(
+        "conv_id", "turn_idx", "text", q["quality_micro"].alias("quality_micro")
+    )
+    return scored.filter(F.col("quality_micro") >= min_quality_micro)
+
+
+def dedup_keeper_stage(kept: DataFrame) -> DataFrame:
+    """Stage 2: exact-dedup keeper among survivors — first
+    (conv_id, turn_idx) per md5(text) group wins (one hash shuffle)."""
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("conv_id", "turn_idx")
+    return (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def split_stage(
+    uniq: DataFrame,
+    weights: dict[str, float] | None = None,
+    salt: str = DEFAULT_SALT,
+) -> DataFrame:
+    """Stage 3: conv-coherent split assignment (narrow projection)."""
+    return uniq.withColumn("split", split_col(F.col("conv_id"), weights, salt))
+
+
 def materialize_training_corpus(
     transcripts: DataFrame,
     budget: int = 256,
@@ -50,20 +82,11 @@ def materialize_training_corpus(
     ``cache_handle=[]`` receives the packing stage's persisted ranged
     layout for the caller to unpersist after materializing (the
     assign_doc_ids contract)."""
-    toks = tokens_col("text")
-    q = quality_cols(F.col("text"), toks)
-    scored = transcripts.select(
-        "conv_id", "turn_idx", "text", q["quality_micro"].alias("quality_micro")
+    assigned = split_stage(
+        dedup_keeper_stage(quality_stage(transcripts, min_quality_micro)),
+        weights,
+        salt,
     )
-    kept = scored.filter(F.col("quality_micro") >= min_quality_micro)
-    # exact-dedup keeper among survivors: first (conv_id, turn_idx) per text
-    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("conv_id", "turn_idx")
-    uniq = (
-        kept.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    assigned = uniq.withColumn("split", split_col(F.col("conv_id"), weights, salt))
     # per-split packing in ONE range shuffle: offsets (and seq_ids) reset
     # per split — a training sequence never spans splits — via
     # pack_sequences' reset_col (range key (split, conv_id, turn_idx),
