@@ -242,6 +242,57 @@ def _q_phrase_count(spark, sf_dir):
     return phrase_count(_wand_reader(spark, sf_dir), Q_PHRASE)
 
 
+#: batched phrase set: the two gate phrases plus a third unseen bigram
+PHRASE_BATCH = [("p1", Q_PHRASE), ("p2", Q_PHRASE_LONG), ("p3", "fast scan")]
+
+#: batched proximity set: the gate near query at two slops + a third pair
+NEAR_BATCH = [("n1", "table hash", 3), ("n2", "table hash", 0), ("n3", "merge stream", 2)]
+
+
+def _q_near_batch(spark, sf_dir):
+    """N proximity queries in ONE shared-scan job (operators/phrase.
+    near_batch): per-query terms AND slop ride the broadcast parameter
+    table, one positional verify for the whole batch."""
+    from search_spark.operators.phrase import near_batch
+
+    res = near_batch(_wand_reader(spark, sf_dir), NEAR_BATCH, _TOPK)
+    micro = res.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+        F.col("ptf").cast("int").alias("ptf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "query_id", "doc_id", "rank", "score_micro", "ptf"
+    )
+
+
+def _q_phrase_batch(spark, sf_dir):
+    """N phrase queries in ONE shared-scan job (operators/phrase.
+    phrase_batch): union-of-terms pruned posting scan, per-bucket decode
+    shared across phrases, one positional verify over the distinct
+    candidate docs, hierarchical exact top-k merge."""
+    from search_spark.operators.phrase import phrase_batch
+
+    res = phrase_batch(_wand_reader(spark, sf_dir), PHRASE_BATCH, _TOPK)
+    micro = res.select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+        F.col("ptf").cast("int").alias("ptf"),
+    )
+    # rank over ROUNDED scores (the oracle convention) — k rows per query
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "query_id", "doc_id", "rank", "score_micro", "ptf"
+    )
+
+
 #: proximity gate query: terms co-occur within |terms|+slop tokens
 Q_NEAR = "table hash"
 NEAR_SLOP = 3
@@ -1080,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_rehydrated": _q_bm25_rehydrated,
         # -- (2) new + touched this round --------------------------------
         "boolean_batch": _q_boolean_batch,
+        "phrase_batch": _q_phrase_batch,
+        "near_batch": _q_near_batch,
         "bm25_wand_head": _q_wand_head,
         "bm25_wand_mix": _q_wand_mix,
         "bm25_wand_batch": _q_wand_batch,
@@ -1109,10 +1162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_topk": _q_near,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram,
-        "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
         # -------------------- 50-slot cap falls here --------------------
         # rotated out (≥2 consecutive green driver rounds, untouched):
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
         "bm25_topk_head": _q_bm25_head,
         "bm25_topk_mix": _q_bm25_mix,
         "bm25_topk_rare": _q_bm25_rare,
@@ -1172,6 +1225,8 @@ def oracle_sql() -> dict[str, str]:
             "", BOOL_SHOULD, BOOL_MUST_NOT, _TOPK
         ),
         "boolean_batch": osql.boolean_batch_sql(BOOL_BATCH, _TOPK),
+        "phrase_batch": osql.phrase_batch_sql(PHRASE_BATCH, _TOPK),
+        "near_batch": osql.near_batch_sql(NEAR_BATCH, _TOPK),
         "facet_role_counts": osql.facet_counts_sql(
             BOOL_MUST,
             f"CASE WHEN (doc_id % {TURNS_PER_CONV}) % 2 = 0 "

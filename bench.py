@@ -708,6 +708,7 @@ def _skew_variant(spark, corpus_path: str, queries: dict[str, str]) -> dict:
         t0 = time.perf_counter()
         pairs = minhash_lsh_pairs(docs)
         n_pairs = pairs.persist().count()
+        t_pairs = time.perf_counter() - t0
         clusters = dup_clusters(pairs)
         n_clustered = clusters.count()
         giant = (
@@ -729,6 +730,7 @@ def _skew_variant(spark, corpus_path: str, queries: dict[str, str]) -> dict:
             "query_secs": round(query_s, 2),
             "queries_per_sec": round(nq / query_s, 2),
             "cluster_secs": round(cluster_s, 2),
+            "cluster_pairs_secs": round(t_pairs, 2),
             "n_dup_pairs": n_pairs,
             "n_clustered_docs": n_clustered,
             "giant_cluster": int(giant),
@@ -752,18 +754,50 @@ def main_skew() -> None:
 
         uni_path = os.path.join(corpus_dir, "uniform.parquet")
         skw_path = os.path.join(corpus_dir, "skewed.parquet")
+        warm_path = os.path.join(corpus_dir, "warmup.parquet")
         _mark(f"generating uniform + skewed corpora ({SKEW_CONVS} convs)")
         generate_spark(spark, SKEW_CONVS, partitions=64).write.parquet(uni_path)
         generate_skewed_spark(spark, SKEW_CONVS, partitions=64).write.parquet(skw_path)
+        generate_spark(spark, max(200, SKEW_CONVS // 16), partitions=16).write.parquet(
+            warm_path
+        )
 
-        _mark("uniform variant")
-        s0 = cpu_steal_sample()
-        uni = _skew_variant(spark, uni_path, SYN_QUERIES)
-        uni["steal"] = steal_frac(s0, cpu_steal_sample())
-        _mark("skewed variant")
-        s0 = cpu_steal_sample()
-        skw = _skew_variant(spark, skw_path, SKEW_QUERIES)
-        skw["steal"] = steal_frac(s0, cpu_steal_sample())
+        # untimed warmup through the SAME code path: JVM codegen + Python
+        # worker spin-up otherwise lands entirely on whichever variant runs
+        # first (measured 2-3× on the first run) and corrupts the ratios
+        _mark("warmup variant (untimed)")
+        _skew_variant(spark, warm_path, dict(list(SYN_QUERIES.items())[:3]))
+
+        # interleaved reps, best per phase per variant: the sandbox VM's
+        # throughput swings up to ~4× minute-to-minute on identical jobs
+        # (measured on lsh_candidates: 37-181 s for the same fresh-session
+        # plan), so single shots compare host windows, not corpora — the
+        # same methodology as the scaling harness.
+        uni: dict = {}
+        skw: dict = {}
+        n_reps = int(os.environ.get("SPARK_GRAFT_SKEW_REPS", "2"))
+        for rep in range(n_reps):
+            for name, path, queries, best in (
+                ("uniform", uni_path, SYN_QUERIES, uni),
+                ("skewed", skw_path, SKEW_QUERIES, skw),
+            ):
+                _mark(f"rep {rep} {name} variant")
+                s0 = cpu_steal_sample()
+                r = _skew_variant(spark, path, queries)
+                r["steal"] = steal_frac(s0, cpu_steal_sample())
+                if not best:
+                    best.update(r)
+                else:  # best per whole phase, never mixing reps within one
+                    if r["build_turns_per_sec"] > best["build_turns_per_sec"]:
+                        for key in ("build_secs", "build_turns_per_sec"):
+                            best[key] = r[key]
+                    if r["queries_per_sec"] > best["queries_per_sec"]:
+                        for key in ("query_secs", "queries_per_sec"):
+                            best[key] = r[key]
+                    if r["cluster_secs"] < best["cluster_secs"]:
+                        for key in ("cluster_secs", "cluster_pairs_secs"):
+                            best[key] = r[key]
+                    best["steal"] = max(best["steal"], r["steal"])
 
         report = {
             "metric": "skew_stress_uniform_vs_skewed",

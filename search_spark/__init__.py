@@ -61,8 +61,11 @@ def __getattr__(name):
         "conversation_summary": ("search_spark.streaming.sessionize", "conversation_summary"),
         # round-3 fulltext extensions
         "phrase_search": ("search_spark.operators.phrase", "phrase_search"),
+        "phrase_batch": ("search_spark.operators.phrase", "phrase_batch"),
         "near_search": ("search_spark.operators.phrase", "near_search"),
+        "near_batch": ("search_spark.operators.phrase", "near_batch"),
         "boolean_search": ("search_spark.operators.boolean", "boolean_search"),
+        "boolean_batch": ("search_spark.operators.boolean", "boolean_batch"),
         "facet_counts": ("search_spark.operators.boolean", "facet_counts"),
         "prefix_search": ("search_spark.operators.prefix", "prefix_search"),
         "fuzzy_search": ("search_spark.operators.prefix", "fuzzy_search"),

@@ -267,6 +267,263 @@ def _pseudo_term_search(reader, terms: list[str], tf_builder, k: int) -> DataFra
         cands.unpersist()
 
 
+def phrase_tf_dyn_col(toks, terms_col):
+    """Column-parameterized twin of :func:`phrase_tf_col`: the phrase comes
+    from an ``array<string>`` COLUMN instead of a Python literal, so ONE
+    generated expression serves every query in a batch (whole-stage
+    codegen compiles it once; per-row the terms array is just data).
+    Equality with the literal form is property-tested."""
+    w = F.size(terms_col)
+    starts = F.sequence(F.lit(1), F.size(toks) - w + F.lit(1))
+    guarded = F.when(F.size(toks) >= w, starts).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def is_match(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), w - F.lit(1)),
+            F.lit(True),
+            lambda acc, j: acc
+            & (
+                F.element_at(toks, (i + j).cast("int"))
+                == F.element_at(terms_col, (j + 1).cast("int"))
+            ),
+        )
+
+    return F.size(F.filter(guarded, is_match)).cast("int")
+
+
+def phrase_batch(reader, queries: list[tuple[str, str]], k: int = 10) -> DataFrame:
+    """Batched exact phrase search: ``queries`` = [(query_id, phrase_text)]
+    → (query_id, rank, doc_id, score, ptf), the batch analogue of
+    :func:`phrase_search` (serving is batched — BENCH.md).
+
+    The batch shares the single-query plan's two stages instead of running
+    them per query:
+
+    1. ONE partition-pruned, term-pushed posting scan over the union of
+       every phrase's terms + ONE exchange sized to the true bucket count;
+       per bucket each term decodes ONCE for the whole batch, then the
+       per-query conjunctive intersection loops queries (the
+       boolean_batch / wand.batch_search shape).
+    2. ONE positional verify: distinct candidate docs tokenize once, then
+       (query, candidate) pairs evaluate the column-parameterized phrase
+       tf — the verify join stays candidate-sized and the tokenized cache
+       is shared across queries that hit the same docs.
+
+    Per-query semantics are unchanged: empty/OOV phrase or no occurrence
+    → 0 rows for that query only.  df (and so idf) per query comes from
+    one small grouped count, and the final merge is the hierarchical
+    exact top-k (wand.ranked_topk), ptf carried through.
+    """
+    parsed = {qid: tokenize(text) for qid, text in queries}
+    specs = {qid: t for qid, t in parsed.items() if t}
+    return _pseudo_term_batch(
+        reader,
+        specs,
+        # ORDERED terms (dups kept): phrase matching is positional
+        meta_rows=list(specs.items()),
+        meta_schema="query_id string, terms array<string>",
+        tf_expr=lambda: phrase_tf_dyn_col(F.col("toks"), F.col("terms")),
+        k=k,
+    )
+
+
+def near_batch(
+    reader, queries: list[tuple[str, str, int]], k: int = 10
+) -> DataFrame:
+    """Batched proximity search: ``queries`` = [(query_id, text, slop)] →
+    (query_id, rank, doc_id, score, ptf) — :func:`near_search` semantics
+    per query (all distinct terms co-occur within |terms|+slop tokens,
+    scored as one pseudo-term), batched exactly like :func:`phrase_batch`:
+    one shared pruned posting scan, one shared positional verify with the
+    column-parameterized window expression (per-query terms AND slop are
+    data, not plan)."""
+    parsed = {qid: (tokenize(text), int(slop)) for qid, text, slop in queries}
+    specs = {qid: t for qid, (t, _) in parsed.items() if t}
+    return _pseudo_term_batch(
+        reader,
+        specs,
+        meta_rows=[
+            (qid, sorted(set(specs[qid])), parsed[qid][1]) for qid in specs
+        ],
+        meta_schema="query_id string, terms array<string>, slop int",
+        tf_expr=lambda: near_tf_dyn_col(
+            F.col("toks"), F.col("terms"), F.col("slop")
+        ),
+        k=k,
+    )
+
+
+def near_tf_dyn_col(toks, uniq_col, slop_col):
+    """Column-parameterized twin of :func:`near_tf_col`: distinct terms and
+    slop arrive as COLUMNS so one generated expression serves a whole
+    batch.  ``uniq_col`` must hold the query's DISTINCT terms (the window
+    width is |distinct terms| + slop, as in the literal form)."""
+    w = F.size(uniq_col) + slop_col
+    w_eff = F.least(w, F.size(toks))
+    starts = F.sequence(F.lit(1), F.size(toks) - w_eff + F.lit(1))
+    guarded = F.when(F.size(toks) >= F.size(uniq_col), starts).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def is_match(i):
+        win = F.slice(toks, i, w_eff)
+        return F.forall(uniq_col, lambda t: F.exists(win, lambda x: x == t))
+
+    return F.size(F.filter(guarded, is_match)).cast("int")
+
+
+def _pseudo_term_batch(
+    reader,
+    parsed: dict[str, list[str]],
+    meta_rows: list,
+    meta_schema: str,
+    tf_expr,
+    k: int,
+) -> DataFrame:
+    """Shared batched prune-then-verify engine (phrase_batch, near_batch):
+    ``parsed`` maps query_id → conjunctive candidate terms; ``meta_rows`` /
+    ``meta_schema`` describe the broadcast per-query parameter table the
+    verify joins on; ``tf_expr()`` builds the pseudo-term tf Column over
+    the joined frame (columns: toks + the meta columns)."""
+    from .wand import ranked_topk
+
+    spark = reader.spark
+    empty = "query_id string, rank int, doc_id bigint, score double, ptf int"
+    if k <= 0 or not parsed:
+        return spark.createDataFrame([], empty)
+    all_terms = sorted({t for terms in parsed.values() for t in terms})
+    dict_rows = reader._dictionary_rows(all_terms)
+    specs = {
+        qid: terms
+        for qid, terms in parsed.items()
+        if all(t in dict_rows for t in terms)  # OOV term → query matches 0
+    }
+    if not specs:
+        return spark.createDataFrame([], empty)
+    meta_rows = [r for r in meta_rows if r[0] in specs]
+    needed = sorted({t for terms in specs.values() for t in terms})
+    blocks = reader.candidate_blocks(needed, [dict_rows[t][1] for t in needed])
+    uniq_by_q = {qid: sorted(set(terms)) for qid, terms in specs.items()}
+    deleted = getattr(reader, "deleted", frozenset()) or None
+
+    def intersect_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .boolean import _decode_term
+
+        by_term = {t: _decode_term(g)[0] for t, g in pdf.groupby("term")}
+        bucket = int(pdf["doc_bucket"].iloc[0])
+        outs = []
+        for qid, uniq in uniq_by_q.items():
+            per_term = [by_term[t] for t in uniq if t in by_term]
+            if len(per_term) < len(uniq):
+                continue
+            per_term.sort(key=len)
+            acc = per_term[0]
+            for ids in per_term[1:]:
+                acc = np.intersect1d(acc, ids, assume_unique=True)
+                if acc.shape[0] == 0:
+                    break
+            if deleted and acc.shape[0]:
+                acc = acc[~np.isin(acc, np.fromiter(deleted, dtype=np.int64))]
+            if acc.shape[0]:
+                outs.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "doc_bucket": np.int32(bucket), "doc_id": acc}
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(columns=["query_id", "doc_bucket", "doc_id"])
+        return pd.concat(outs, ignore_index=True)
+
+    n_buckets = -(-int(reader.stats["n_docs"]) // int(reader.stats["doc_bucket_size"]))
+    n_part = max(1, min(spark.sparkContext.defaultParallelism, n_buckets))
+    cands = (
+        blocks.repartition(n_part, "doc_bucket")
+        .groupBy("doc_bucket")
+        .applyInPandas(
+            intersect_batch, schema="query_id string, doc_bucket int, doc_id long"
+        )
+        .persist()
+    )
+    try:
+        per_bucket = (
+            cands.groupBy("doc_bucket").count().limit(MAX_BUCKET_LIST + 1).collect()
+        )
+        if not per_bucket:
+            return spark.createDataFrame([], empty)
+        capped = len(per_bucket) > MAX_BUCKET_LIST
+        # sum over (query, doc) rows upper-bounds the distinct doc count
+        n_cand = None if capped else sum(int(r["count"]) for r in per_bucket)
+        buckets = None if capped else [int(r["doc_bucket"]) for r in per_bucket]
+        docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
+        distinct_ids = cands.select("doc_id").distinct()
+        if n_cand is not None and n_cand <= BROADCAST_CANDIDATES_MAX:
+            distinct_ids = F.broadcast(distinct_ids)
+        # persist = the pushdown barrier (see _pseudo_term_search): keeps
+        # the positional expression off the corpus scan; candidate-sized
+        staged = (
+            docs.join(distinct_ids, "doc_id")
+            .select("doc_id", tokens_col("text").alias("toks"))
+            .persist()
+        )
+        meta_df = spark.createDataFrame(meta_rows, meta_schema)
+        verified = (
+            cands.select("query_id", "doc_id")
+            .join(staged, "doc_id")
+            .join(F.broadcast(meta_df), "query_id")
+            .select(
+                "query_id",
+                "doc_id",
+                tf_expr().alias("ptf"),
+                F.size("toks").cast("int").alias("dl"),
+            )
+            .filter(F.col("ptf") >= 1)
+            .persist()
+        )
+        try:
+            dfs = {
+                r["query_id"]: int(r["n"])
+                for r in verified.groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if not dfs:
+                return spark.createDataFrame([], empty)
+            n_docs = int(reader.stats["n_docs"])
+            avgdl = float(reader.stats["avgdl"])
+            idf_map = F.create_map(
+                *[
+                    lit
+                    for qid, df_q in dfs.items()
+                    for lit in (F.lit(qid), F.lit(oracle_idf(n_docs, df_q)))
+                ]
+            )
+            scored = verified.select(
+                "query_id",
+                "doc_id",
+                "ptf",
+                term_score_col(
+                    F.col("ptf"),
+                    F.col("dl"),
+                    F.lit(avgdl),
+                    idf_map[F.col("query_id")],
+                ).alias("score"),
+            )
+            out = ranked_topk(scored, k, n_buckets, extra=("ptf",))
+            rows = out.collect()  # ≤ k × |queries| — materialize pre-unpersist
+            return (
+                spark.createDataFrame(rows, schema=out.schema)
+                if rows
+                else spark.createDataFrame([], empty)
+            )
+        finally:
+            verified.unpersist()
+            staged.unpersist()
+    finally:
+        cands.unpersist()
+
+
 def phrase_count(reader, phrase_text: str) -> DataFrame:
     """(n_docs, n_occurrences) of the phrase across the corpus — the
     cheap EXISTS/count form of the same prune-then-verify plan."""

@@ -314,7 +314,9 @@ WAND_MAX_POSTINGS = 1024
 MERGE_FANOUT = 64
 
 
-def ranked_topk(local: DataFrame, k: int, n_buckets: int) -> DataFrame:
+def ranked_topk(
+    local: DataFrame, k: int, n_buckets: int, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Exact hierarchical per-query top-k over per-bucket survivors.
 
     ``local`` holds ≤ k rows per (query_id, doc_bucket) — each doc lives
@@ -351,7 +353,7 @@ def ranked_topk(local: DataFrame, k: int, n_buckets: int) -> DataFrame:
     return (
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
+        .select("query_id", "rank", "doc_id", "score", *extra)
     )
 
 

@@ -557,6 +557,34 @@ def boolean_batch_sql(
     return "\nUNION ALL\n".join(parts)
 
 
+def phrase_batch_sql(
+    pairs: list[tuple[str, str]], k: int = 10, docs_sql: str = DOCS_SQL
+) -> str:
+    """Batched phrase search (operators/phrase.phrase_batch twin):
+    per-phrase phrase_topk_sql results unioned under their query_id —
+    (query_id, doc_id, rank, score_micro, ptf)."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id, rank, score_micro, ptf\n"
+        f"FROM ({phrase_topk_sql(text, k, docs_sql)})"
+        for qid, text in pairs
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def near_batch_sql(
+    triples: list[tuple[str, str, int]], k: int = 10, docs_sql: str = DOCS_SQL
+) -> str:
+    """Batched proximity search (operators/phrase.near_batch twin):
+    per-query near_topk_sql results unioned under their query_id —
+    (query_id, doc_id, rank, score_micro, ptf)."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id, rank, score_micro, ptf\n"
+        f"FROM ({near_topk_sql(text, slop, k, docs_sql)})"
+        for qid, text, slop in triples
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def facet_counts_sql(
     query_text: str,
     facet_expr: str,

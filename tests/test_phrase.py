@@ -168,3 +168,146 @@ def test_capped_bucket_list_path(reader, ddb, monkeypatch):
     gc = phrase_count(reader, "order fast").collect()[0]
     wc = ddb.execute(phrase_count_sql("order fast")).fetchall()[0]
     assert (gc["n_docs"], gc["n_occurrences"]) == wc
+
+
+def test_phrase_batch_matches_single(reader):
+    """phrase_batch over N phrases ≡ per-query phrase_search (shared-scan
+    batching must not change any answer)."""
+    from search_spark.operators.phrase import phrase_batch
+
+    qs = [("a", "order fast"), ("b", "big order scan"), ("c", "the"),
+          ("d", "order order")]
+    batch = phrase_batch(reader, qs, 10).collect()
+    got = {
+        qid: [
+            (r["doc_id"], r["ptf"], round(r["score"] * 1e6))
+            for r in sorted(
+                (r for r in batch if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        for qid, _ in qs
+    }
+    for qid, text in qs:
+        want = [
+            (r["doc_id"], r["ptf"], round(r["score"] * 1e6))
+            for r in phrase_search(reader, text, 10)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        assert got[qid] == want, qid
+
+
+def test_phrase_batch_matches_sql_oracle(reader, ddb):
+    from search_spark.operators.phrase import phrase_batch
+    from search_spark.oracle_sql import phrase_batch_sql
+
+    qs = [("p1", "order fast"), ("p2", "big order scan")]
+    res = phrase_batch(reader, qs, 10)
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], round(r["score"] * 1e6), r["ptf"])
+        for r in res.collect()
+    )
+    want = sorted(map(tuple, ddb.execute(phrase_batch_sql(qs, 10)).fetchall()))
+    assert got == want
+
+
+def test_phrase_batch_guards(reader, spark):
+    from search_spark.operators.phrase import phrase_batch
+
+    assert phrase_batch(reader, [], 10).count() == 0
+    assert phrase_batch(reader, [("a", "order fast")], 0).count() == 0
+    # OOV / empty phrases drop only their own query
+    res = phrase_batch(
+        reader, [("ok", "order fast"), ("oov", "zzq unseen"), ("nil", "")], 5
+    )
+    qids = {r["query_id"] for r in res.collect()}
+    assert qids == {"ok"}
+
+
+def test_phrase_tf_dyn_equals_literal(spark):
+    """Column-parameterized phrase tf ≡ literal-parameterized phrase tf on
+    randomized token arrays (incl. docs shorter than the phrase)."""
+    import random
+
+    from search_spark.operators.phrase import phrase_tf_col, phrase_tf_dyn_col
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        ([rng.choice(vocab) for _ in range(rng.randint(0, 12))],)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "toks array<string>")
+    for phrase in (["a", "b"], ["b"], ["a", "a"], ["c", "d", "a"], ["a"] * 5):
+        both = df.select(
+            phrase_tf_col(F.col("toks"), phrase).alias("lit"),
+            phrase_tf_dyn_col(F.col("toks"), F.lit(phrase)).alias("dyn"),
+        ).collect()
+        assert all(r["lit"] == r["dyn"] for r in both), phrase
+
+
+def test_near_batch_matches_single(reader):
+    """near_batch over N (text, slop) queries ≡ per-query near_search."""
+    from search_spark.operators.phrase import near_batch
+
+    qs = [("a", "order fast", 3), ("b", "order fast", 0), ("c", "big scan", 2)]
+    batch = near_batch(reader, qs, 10).collect()
+    got = {
+        qid: [
+            (r["doc_id"], r["ptf"], round(r["score"] * 1e6))
+            for r in sorted(
+                (r for r in batch if r["query_id"] == qid),
+                key=lambda r: r["rank"],
+            )
+        ]
+        for qid, _, _ in qs
+    }
+    for qid, text, slop in qs:
+        want = [
+            (r["doc_id"], r["ptf"], round(r["score"] * 1e6))
+            for r in near_search(reader, text, slop, 10)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .collect()
+        ]
+        assert got[qid] == want, qid
+
+
+def test_near_batch_matches_sql_oracle(reader, ddb):
+    from search_spark.operators.phrase import near_batch
+    from search_spark.oracle_sql import near_batch_sql
+
+    qs = [("n1", "order fast", 3), ("n2", "order fast", 0)]
+    res = near_batch(reader, qs, 10)
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], round(r["score"] * 1e6), r["ptf"])
+        for r in res.collect()
+    )
+    want = sorted(map(tuple, ddb.execute(near_batch_sql(qs, 10)).fetchall()))
+    assert got == want
+
+
+def test_near_tf_dyn_equals_literal(spark):
+    """Column-parameterized proximity tf ≡ literal form on randomized
+    token arrays across slops (incl. docs shorter than the term set)."""
+    import random
+
+    from search_spark.operators.phrase import near_tf_col, near_tf_dyn_col
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        ([rng.choice(vocab) for _ in range(rng.randint(0, 12))],)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "toks array<string>")
+    for terms, slop in ((["a", "b"], 0), (["a", "b"], 3), (["c"], 2),
+                        (["a", "b", "d"], 1), (["b", "b", "a"], 2)):
+        uniq = sorted(set(terms))
+        both = df.select(
+            near_tf_col(F.col("toks"), terms, slop).alias("lit"),
+            near_tf_dyn_col(
+                F.col("toks"), F.lit(uniq), F.lit(slop)
+            ).alias("dyn"),
+        ).collect()
+        assert all(r["lit"] == r["dyn"] for r in both), (terms, slop)
