@@ -77,6 +77,25 @@ class IndexStore:
     doc_bucket_size: int = 4096
     term_buckets: int = 8
 
+    def __post_init__(self) -> None:
+        # Geometry is a property of the STORE, not the caller: when the
+        # root already holds a manifest, ITS doc_bucket_size/term_buckets
+        # override whatever the constructor received.  Without this, a
+        # writer that reopens a non-default store bare — e.g.
+        # ``compact_index(spark, IndexStore(root))`` on a 16-term-bucket
+        # store — inherits the defaults and rewrites ``term_bucket =
+        # pmod(hash, 8)`` while the dictionary still says mod 16: every
+        # bucket-pruned read then scans the wrong (or no) partition and
+        # silently returns 0 rows (caught live on a 1.4M-doc store;
+        # regression-tested in tests/test_compact.py).  Readers were
+        # immune only because they take buckets from the dictionary's
+        # stored column; every WRITE path (compaction, streaming ingest
+        # onto an existing store, purge) used the constructor values.
+        m = _read_json(self.manifest_path, None)
+        if m:
+            self.doc_bucket_size = int(m.get("doc_bucket_size", self.doc_bucket_size))
+            self.term_buckets = int(m.get("term_buckets", self.term_buckets))
+
     # ---- paths ----
     @property
     def manifest_path(self) -> str:

@@ -213,3 +213,40 @@ def test_crashed_compaction_recovers(spark, tmp_path, monkeypatch):
     assert _results(spark, store) == before
     units = os.listdir(os.path.join(store.root, "compacted"))
     assert len(units) == 1 and units[0].startswith("unit")
+
+
+def test_reopened_store_adopts_manifest_geometry(spark, tmp_path):
+    """Regression (round 4, caught live on a 1.4M-doc store): reopening a
+    non-default-geometry store BARE — ``IndexStore(root)`` — used to keep
+    the dataclass defaults (term_buckets=8, doc_bucket_size=4096).  A
+    compaction through such a handle rewrote ``term_bucket`` mod the
+    DEFAULT while the dictionary still carried mod-manifest buckets, so
+    every bucket-pruned read scanned the wrong partition and silently
+    returned 0 rows.  The manifest's geometry must win on reopen."""
+    from search_spark.corpus import transcripts_from_documents
+
+    root = str(tmp_path / "geom_idx")
+    built = IndexStore(root, doc_bucket_size=128, term_buckets=16)
+    build_index(
+        spark, transcripts_from_documents(spark, "/root/testdata/sf0.001"),
+        built, n_units=2,
+    )
+    want = _results(spark, built)
+    assert want  # non-empty before
+
+    reopened = IndexStore(root)  # bare reopen — the hazardous handle
+    assert reopened.term_buckets == 16
+    assert reopened.doc_bucket_size == 128
+
+    compact_index(spark, reopened)
+    fresh = IndexStore(root)  # fresh reader over the compacted layout
+    assert _results(spark, fresh) == want
+
+    # postings partition values must still span the manifest bucket count
+    import duckdb
+
+    buckets = duckdb.sql(
+        f"SELECT count(DISTINCT term_bucket) FROM "
+        f"read_parquet('{root}/compacted/*/*/*.parquet', hive_partitioning=1)"
+    ).fetchone()[0]
+    assert buckets > 8  # 16-bucket layout, not the default-8 rewrite
