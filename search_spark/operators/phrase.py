@@ -15,12 +15,23 @@ plan that never scans the corpus:
 
 2. **Positional verify on the candidates only** — the index stores no
    positions (by design: positions triple index size; candidates are
-   cheap to re-check), so candidates rehydrate their token arrays from
-   the staged docs and count exact phrase occurrences with JVM
-   higher-order array functions (``filter`` over start offsets — no
-   Python in the verify).  The docs scan is partition-pruned to the
-   units containing candidates, and the candidate side is broadcast, so
-   the verify is a map-side join over a pruned scan: NO corpus shuffle.
+   cheap to re-check), so candidates rehydrate their text from the
+   staged docs and count exact phrase occurrences with the Arrow/numpy
+   kernels in :mod:`..functions.positional` inside ONE ``mapInPandas``
+   stage (tokenize-once + shifted-slice boolean algebra per Arrow
+   batch).  The JVM higher-order-function twins remain as the
+   property-tested semantic pin, but they are interpreted per lambda
+   call — measured ~10× the cost of tokenization itself at 1.4M docs —
+   so the kernels are the hot path.  The docs scan is partition-pruned
+   to the units containing candidates, and the candidate side is
+   broadcast, so the verify is a map-side join over a pruned scan: NO
+   corpus shuffle; mapInPandas is opaque to Catalyst, so no pushdown
+   barrier is needed to keep the verify off the corpus scan.
+
+For HEAD-ONLY queries (every term's df ≥ half the corpus) stage 1 is
+skipped entirely: intersecting near-full posting lists costs a full
+decode to prune <half the verify input — the flat verify scan IS the
+minimal plan (the 10^12-doc "the a" shape, SCALE.md).
 
 Scoring treats the phrase as one pseudo-term: tf = exact occurrence
 count (overlaps included), df = number of documents containing the
@@ -37,8 +48,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import codec
-from ..analyzer import tokenize, tokens_col
+from ..analyzer import tokenize
 from ..functions.bm25 import term_score_col
+from ..functions.positional import near_tf_np, phrase_tf_np
 from ..oracle import idf as oracle_idf
 
 #: broadcast the candidate side of the verify join only below this many
@@ -52,6 +64,12 @@ BROADCAST_CANDIDATES_MAX = 2_000_000
 #: itself be driver-sized, so past the cap the verify scans unpruned
 #: (which IS the matching physical plan for an everywhere-phrase)
 MAX_BUCKET_LIST = 8192
+
+#: min-df fraction of the corpus above which candidate generation is
+#: skipped and the verify scans the corpus flat: pruning can remove less
+#: than (1 - frac) of the verify input but costs a full posting
+#: decode+intersect of every (near-corpus-sized) list first
+DENSE_SKIP_FRAC = 0.5
 
 _EMPTY_SCHEMA = "doc_id bigint, ptf int, score double"
 
@@ -173,7 +191,7 @@ def phrase_search(reader, phrase_text: str, k: int = 10) -> DataFrame:
     (reference guard semantics, /root/reference/index.go:54-56)."""
     terms = tokenize(phrase_text)
     return _pseudo_term_search(
-        reader, terms, lambda toks: phrase_tf_col(toks, terms), k
+        reader, terms, lambda texts: phrase_tf_np(texts, terms), k
     )
 
 
@@ -184,23 +202,77 @@ def near_search(reader, query_text: str, slop: int = 2, k: int = 10) -> DataFram
     Same prune-then-verify plan as phrase_search."""
     terms = tokenize(query_text)
     return _pseudo_term_search(
-        reader, terms, lambda toks: near_tf_col(toks, terms, slop), k
+        reader, terms, lambda texts: near_tf_np(texts, terms, slop), k
     )
 
 
-def _pseudo_term_search(reader, terms: list[str], tf_builder, k: int) -> DataFrame:
+def _verify_stage(joined, kernel) -> DataFrame:
+    """Arrow-vectorized positional verify: ``joined`` = (doc_id, text) →
+    (doc_id, ptf, dl) for docs with ptf ≥ 1.  ONE ``mapInPandas`` stage:
+    each Arrow batch tokenizes once (analyzer.tokenize_arrow) and counts
+    matches vectorized (functions.positional) — no per-row Python, no
+    pushdown hazard (mapInPandas is opaque to Catalyst, so the old
+    persist-barrier against positional-expression pushdown is moot)."""
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ptf, dl = kernel(pdf["text"])
+            keep = ptf >= 1
+            if not keep.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[keep],
+                    "ptf": ptf[keep],
+                    "dl": dl[keep],
+                }
+            )
+
+    return joined.mapInPandas(gen, "doc_id long, ptf int, dl int")
+
+
+def _df_from_idf(n_docs: int, idf: float) -> float:
+    """Invert the BM25 idf convention back to df (heuristics only)."""
+    import math
+
+    return (n_docs + 1.0) / math.exp(idf) - 0.5
+
+
+def _pseudo_term_search(reader, terms: list[str], kernel, k: int) -> DataFrame:
     """Shared prune-then-verify engine for pseudo-term operators (phrase,
     proximity): conjunctive candidates from the index → partition-pruned
-    positional verify with ``tf_builder(toks)`` → BM25 with the pseudo-
-    term's (tf, df)."""
+    Arrow-vectorized positional verify (``kernel(texts) -> (ptf, dl)``) →
+    BM25 with the pseudo-term's (tf, df)."""
     spark = reader.spark
     if k <= 0 or not terms:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
-    cands = conjunctive_doc_ids(reader, terms)
-    if cands is None:
+    uniq = sorted(set(terms))
+    dict_rows = reader._dictionary_rows(uniq)
+    if len(dict_rows) < len(uniq):  # OOV term → no doc can match
         return spark.createDataFrame([], _EMPTY_SCHEMA)
-    cands = cands.cache()
-    try:
+    n_docs = int(reader.stats["n_docs"])
+    min_df = min(_df_from_idf(n_docs, idf) for idf, _ in dict_rows.values())
+    deleted = getattr(reader, "deleted", frozenset()) or None
+
+    cands = None
+    if min_df >= DENSE_SKIP_FRAC * n_docs:
+        # Head-only query: every posting list is ≥ half the corpus, so the
+        # conjunctive intersect decodes ~everything to prune <half of the
+        # verify input — the flat corpus verify IS the cheaper plan (and
+        # the scan-shaped one: no exchange at all before the verify).
+        joined = reader.doc_source().select("doc_id", "text")
+        if deleted:
+            gone = spark.createDataFrame(
+                [(int(d),) for d in deleted], "doc_id long"
+            )
+            joined = joined.join(F.broadcast(gone), "doc_id", "left_anti")
+    else:
+        cands = conjunctive_doc_ids(reader, terms)
+        if cands is None:
+            return spark.createDataFrame([], _EMPTY_SCHEMA)
+        cands = cands.cache()
         # ONE job yields both the candidate count and the bucket list
         # (phrase queries are multi-job by nature; don't add more).  The
         # collect is CAPPED: past MAX_BUCKET_LIST buckets the list prunes
@@ -209,6 +281,7 @@ def _pseudo_term_search(reader, terms: list[str], tf_builder, k: int) -> DataFra
             cands.groupBy("doc_bucket").count().limit(MAX_BUCKET_LIST + 1).collect()
         )
         if not per_bucket:
+            cands.unpersist()
             return spark.createDataFrame([], _EMPTY_SCHEMA)
         capped = len(per_bucket) > MAX_BUCKET_LIST
         n_cand = None if capped else sum(int(r["count"]) for r in per_bucket)
@@ -219,34 +292,15 @@ def _pseudo_term_search(reader, terms: list[str], tf_builder, k: int) -> DataFra
         cand_ids = cands.select("doc_id")
         if n_cand is not None and n_cand <= BROADCAST_CANDIDATES_MAX:
             cand_ids = F.broadcast(cand_ids)
-        # Materialize the candidate token arrays BEFORE computing the
-        # positional tf: without this barrier Catalyst pushes the
-        # `ptf >= 1` filter (and so the whole positional expression)
-        # through the join down to the corpus scan — evaluating it on
-        # EVERY doc instead of the candidates (measured 10× slower at
-        # 1.4M docs).  The cache is candidate-sized: bounded by the
-        # rarest term's df, the same bound the verify join relies on.
-        staged = (
-            docs.join(cand_ids, "doc_id")
-            .select("doc_id", tokens_col("text").alias("toks"))
-            .persist()
-        )
-        verified = (
-            staged.select(
-                "doc_id",
-                tf_builder(F.col("toks")).alias("ptf"),
-                F.size("toks").cast("int").alias("dl"),
-            )
-            .filter(F.col("ptf") >= 1)
-            .cache()
-        )
+        joined = docs.join(cand_ids, "doc_id")
+    try:
+        verified = _verify_stage(joined, kernel).cache()
         try:
             df_phrase = verified.count()
             if df_phrase == 0:
                 return spark.createDataFrame([], _EMPTY_SCHEMA)
             # idf in CPython from (N, df): bit-identical to the oracle's
             # correctly-rounded libm ln (wand._dictionary_rows convention)
-            n_docs = int(reader.stats["n_docs"])
             avgdl = float(reader.stats["avgdl"])
             idf = oracle_idf(n_docs, df_phrase)
             scored = verified.select(
@@ -262,9 +316,9 @@ def _pseudo_term_search(reader, terms: list[str], tf_builder, k: int) -> DataFra
             return spark.createDataFrame(rows, schema=out.schema) if rows else spark.createDataFrame([], _EMPTY_SCHEMA)
         finally:
             verified.unpersist()
-            staged.unpersist()
     finally:
-        cands.unpersist()
+        if cands is not None:
+            cands.unpersist()
 
 
 def phrase_tf_dyn_col(toks, terms_col):
@@ -322,9 +376,10 @@ def phrase_batch(reader, queries: list[tuple[str, str]], k: int = 10) -> DataFra
         reader,
         specs,
         # ORDERED terms (dups kept): phrase matching is positional
-        meta_rows=list(specs.items()),
-        meta_schema="query_id string, terms array<string>",
-        tf_expr=lambda: phrase_tf_dyn_col(F.col("toks"), F.col("terms")),
+        kernels={
+            qid: (lambda texts, t=t: phrase_tf_np(texts, t))
+            for qid, t in specs.items()
+        },
         k=k,
     )
 
@@ -344,13 +399,12 @@ def near_batch(
     return _pseudo_term_batch(
         reader,
         specs,
-        meta_rows=[
-            (qid, sorted(set(specs[qid])), parsed[qid][1]) for qid in specs
-        ],
-        meta_schema="query_id string, terms array<string>, slop int",
-        tf_expr=lambda: near_tf_dyn_col(
-            F.col("toks"), F.col("terms"), F.col("slop")
-        ),
+        kernels={
+            qid: (
+                lambda texts, t=t, s=parsed[qid][1]: near_tf_np(texts, t, s)
+            )
+            for qid, t in specs.items()
+        },
         k=k,
     )
 
@@ -377,16 +431,15 @@ def near_tf_dyn_col(toks, uniq_col, slop_col):
 def _pseudo_term_batch(
     reader,
     parsed: dict[str, list[str]],
-    meta_rows: list,
-    meta_schema: str,
-    tf_expr,
+    kernels: dict,
     k: int,
 ) -> DataFrame:
     """Shared batched prune-then-verify engine (phrase_batch, near_batch):
-    ``parsed`` maps query_id → conjunctive candidate terms; ``meta_rows`` /
-    ``meta_schema`` describe the broadcast per-query parameter table the
-    verify joins on; ``tf_expr()`` builds the pseudo-term tf Column over
-    the joined frame (columns: toks + the meta columns)."""
+    ``parsed`` maps query_id → conjunctive candidate terms; ``kernels``
+    maps query_id → the Arrow-vectorized positional kernel
+    (``texts -> (ptf, dl)``) evaluated per query group inside the one
+    shared ``mapInPandas`` verify stage — per-query terms/slop live in
+    the kernel closures (driver-sized: ≤ batch terms), not a join."""
     from .wand import ranked_topk
 
     spark = reader.spark
@@ -402,7 +455,6 @@ def _pseudo_term_batch(
     }
     if not specs:
         return spark.createDataFrame([], empty)
-    meta_rows = [r for r in meta_rows if r[0] in specs]
     needed = sorted({t for terms in specs.values() for t in terms})
     blocks = reader.candidate_blocks(needed, [dict_rows[t][1] for t in needed])
     uniq_by_q = {qid: sorted(set(terms)) for qid, terms in specs.items()}
@@ -460,25 +512,35 @@ def _pseudo_term_batch(
         distinct_ids = cands.select("doc_id").distinct()
         if n_cand is not None and n_cand <= BROADCAST_CANDIDATES_MAX:
             distinct_ids = F.broadcast(distinct_ids)
-        # persist = the pushdown barrier (see _pseudo_term_search): keeps
-        # the positional expression off the corpus scan; candidate-sized
-        staged = (
-            docs.join(distinct_ids, "doc_id")
-            .select("doc_id", tokens_col("text").alias("toks"))
-            .persist()
-        )
-        meta_df = spark.createDataFrame(meta_rows, meta_schema)
+        live = {qid: kernels[qid] for qid in specs}
+
+        def verify(batches):
+            # one shared stage: group each Arrow batch by query and run
+            # that query's vectorized kernel over the group's texts —
+            # tokenize-once per (query, doc) row, no per-row Python
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for qid, g in pdf.groupby("query_id", sort=False):
+                    ptf, dl = live[qid](g["text"])
+                    keep = ptf >= 1
+                    if not keep.any():
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "doc_id": g["doc_id"].to_numpy()[keep],
+                            "ptf": ptf[keep],
+                            "dl": dl[keep],
+                        }
+                    )
+
         verified = (
             cands.select("query_id", "doc_id")
-            .join(staged, "doc_id")
-            .join(F.broadcast(meta_df), "query_id")
-            .select(
-                "query_id",
-                "doc_id",
-                tf_expr().alias("ptf"),
-                F.size("toks").cast("int").alias("dl"),
+            .join(docs.join(distinct_ids, "doc_id").select("doc_id", "text"), "doc_id")
+            .mapInPandas(
+                verify, "query_id string, doc_id long, ptf int, dl int"
             )
-            .filter(F.col("ptf") >= 1)
             .persist()
         )
         try:
@@ -519,7 +581,6 @@ def _pseudo_term_batch(
             )
         finally:
             verified.unpersist()
-            staged.unpersist()
     finally:
         cands.unpersist()
 
@@ -546,25 +607,22 @@ def phrase_count(reader, phrase_text: str) -> DataFrame:
         n_cand = None if capped else sum(int(r["count"]) for r in per_bucket)
         buckets = None if capped else [int(r["doc_bucket"]) for r in per_bucket]
         docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
-        toks = tokens_col("text")
         cand_ids = cands.select("doc_id")
         # broadcast gated on CANDIDATE rows, not bucket count — a head
         # phrase can pack millions of candidates into few buckets
         if n_cand is not None and n_cand <= BROADCAST_CANDIDATES_MAX:
             cand_ids = F.broadcast(cand_ids)
-        # no `ptf >= 1` FILTER here: Catalyst would push it (and the whole
-        # positional expression) through the join onto the corpus scan.
-        # The conditional aggregate is equivalent (ptf ≥ 0) and keeps the
-        # tf evaluation post-join, on candidates only.
-        joined = docs.join(cand_ids, "doc_id").select(
-            phrase_tf_col(toks, terms).alias("ptf")
+        row = (
+            _verify_stage(
+                docs.join(cand_ids, "doc_id"),
+                lambda texts: phrase_tf_np(texts, terms),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.coalesce(F.sum("ptf"), F.lit(0)).cast("bigint").alias("n_occurrences"),
+            )
+            .collect()[0]
         )
-        row = joined.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("ptf") >= 1, 1).otherwise(0)), F.lit(0)
-            ).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum("ptf"), F.lit(0)).cast("bigint").alias("n_occurrences"),
-        ).collect()[0]
         # eager 1-row result: lets the candidate cache release here instead
         # of leaking past the (lazy) return
         return spark.createDataFrame(

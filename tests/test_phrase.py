@@ -311,3 +311,92 @@ def test_near_tf_dyn_equals_literal(spark):
             ).alias("dyn"),
         ).collect()
         assert all(r["lit"] == r["dyn"] for r in both), (terms, slop)
+
+
+def test_np_kernels_equal_jvm_twins(spark):
+    """The Arrow/numpy verify kernels (functions.positional) ≡ the JVM
+    higher-order-function twins on randomized TEXTS (the kernels tokenize
+    internally, so the twin side tokenizes with the same frozen spec)."""
+    import random
+
+    from search_spark.analyzer import tokens_col
+    from search_spark.functions.positional import near_tf_np, phrase_tf_np
+    from search_spark.operators.phrase import near_tf_col, phrase_tf_col
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "dd", "e7"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14)))
+        for _ in range(400)
+    ] + ["", "A b! C", "a a a a", "b a b a b"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    toks = tokens_col("text")
+    for phrase in (["a", "b"], ["b"], ["a", "a"], ["c", "dd", "e7"], ["a"] * 4):
+        jvm = [
+            r["ptf"]
+            for r in df.select("i", phrase_tf_col(toks, phrase).alias("ptf"))
+            .orderBy("i").collect()
+        ]
+        ptf, _dl = phrase_tf_np(texts, phrase)
+        assert list(ptf) == jvm, phrase
+    for terms, slop in ((["a", "b"], 0), (["a", "b"], 3), (["c"], 2),
+                        (["a", "b", "dd"], 1), (["b", "b", "a"], 2)):
+        jvm = [
+            r["ptf"]
+            for r in df.select("i", near_tf_col(toks, terms, slop).alias("ptf"))
+            .orderBy("i").collect()
+        ]
+        ptf, _dl = near_tf_np(texts, terms, slop)
+        assert list(ptf) == jvm, (terms, slop)
+
+
+def test_head_only_phrase_skips_candidate_stage(reader):
+    """A phrase whose every term has df ≥ half the corpus must take the
+    dense path (no conjunctive candidate job) and still match the
+    brute-force answer — the 10^12-doc \"the a\" shape."""
+    from search_spark.operators import phrase as ph
+
+    # find two head terms in the fixture corpus via the reader dictionary
+    n = int(reader.stats["n_docs"])
+    head = [
+        t for t in ["the", "a", "to", "of", "order", "scan"]
+        if (lambda v: v and ph._df_from_idf(n, v[0]) >= ph.DENSE_SKIP_FRAC * n)(
+            reader._dictionary_rows([t]).get(t)
+        )
+    ]
+    if len(head) < 2:
+        import pytest
+
+        pytest.skip("fixture corpus has <2 half-corpus head terms")
+    q = f"{head[0]} {head[1]}"
+    got = [
+        (r["doc_id"], r["ptf"], round(r["score"] * 1e6))
+        for r in ph.phrase_search(reader, q, 10).collect()
+    ]
+    # brute force over the raw docs
+    from search_spark.analyzer import tokenize as tok
+    from search_spark.oracle import idf as oidf
+    from search_spark.oracle import term_score
+
+    docs = {
+        r["doc_id"]: tok(r["text"])
+        for r in reader.doc_source().select("doc_id", "text").collect()
+    }
+    avgdl = float(reader.stats["avgdl"])
+    terms = tok(q)
+    w = len(terms)
+    tfs = {
+        d: sum(1 for i in range(len(t) - w + 1) if t[i:i + w] == terms)
+        for d, t in docs.items()
+    }
+    tfs = {d: c for d, c in tfs.items() if c >= 1}
+    idf = oidf(n, len(tfs))
+    want = sorted(
+        (
+            (d, c, round(term_score(c, len(docs[d]), avgdl, idf) * 1e6))
+            for d, c in tfs.items()
+        ),
+        key=lambda x: (-x[2], x[0]),
+    )[:10]
+    assert got == want
