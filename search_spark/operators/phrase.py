@@ -233,6 +233,23 @@ def _verify_stage(joined, kernel) -> DataFrame:
     return joined.mapInPandas(gen, "doc_id long, ptf int, dl int")
 
 
+def _minus_gone(reader, docs: DataFrame) -> DataFrame:
+    """Drop docs the index no longer serves from a flat staged-docs scan:
+    live tombstones (logical deletes) plus the purged ledger (physical
+    purge removes postings during compaction but leaves the staged doc
+    files in place).  Broadcast anti-join — never an ``isin`` literal
+    list (delete sets are thousands-to-millions of ids)."""
+    gone = (getattr(reader, "deleted", frozenset()) or frozenset()) | (
+        reader.store.purged_ids()
+    )
+    if not gone:
+        return docs
+    gone_df = reader.spark.createDataFrame(
+        [(int(d),) for d in sorted(gone)], "doc_id long"
+    )
+    return docs.join(F.broadcast(gone_df), "doc_id", "left_anti")
+
+
 def _df_from_idf(n_docs: int, idf: float) -> float:
     """Invert the BM25 idf convention back to df (heuristics only)."""
     import math
@@ -254,7 +271,6 @@ def _pseudo_term_search(reader, terms: list[str], kernel, k: int) -> DataFrame:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
     n_docs = int(reader.stats["n_docs"])
     min_df = min(_df_from_idf(n_docs, idf) for idf, _ in dict_rows.values())
-    deleted = getattr(reader, "deleted", frozenset()) or None
 
     cands = None
     if min_df >= DENSE_SKIP_FRAC * n_docs:
@@ -262,12 +278,11 @@ def _pseudo_term_search(reader, terms: list[str], kernel, k: int) -> DataFrame:
         # conjunctive intersect decodes ~everything to prune <half of the
         # verify input — the flat corpus verify IS the cheaper plan (and
         # the scan-shaped one: no exchange at all before the verify).
-        joined = reader.doc_source().select("doc_id", "text")
-        if deleted:
-            gone = spark.createDataFrame(
-                [(int(d),) for d in deleted], "doc_id long"
-            )
-            joined = joined.join(F.broadcast(gone), "doc_id", "left_anti")
+        # Unlike the candidate path (whose doc set comes FROM the index),
+        # the flat scan sees staged docs the index no longer serves:
+        # tombstoned docs AND physically purged ones (purge removes
+        # postings, not staged doc files) — exclude both.
+        joined = _minus_gone(reader, reader.doc_source().select("doc_id", "text"))
     else:
         cands = conjunctive_doc_ids(reader, terms)
         if cands is None:
@@ -455,94 +470,147 @@ def _pseudo_term_batch(
     }
     if not specs:
         return spark.createDataFrame([], empty)
-    needed = sorted({t for terms in specs.values() for t in terms})
-    blocks = reader.candidate_blocks(needed, [dict_rows[t][1] for t in needed])
-    uniq_by_q = {qid: sorted(set(terms)) for qid, terms in specs.items()}
+    n_docs = int(reader.stats["n_docs"])
     deleted = getattr(reader, "deleted", frozenset()) or None
-
-    def intersect_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        from .boolean import _decode_term
-
-        by_term = {t: _decode_term(g)[0] for t, g in pdf.groupby("term")}
-        bucket = int(pdf["doc_bucket"].iloc[0])
-        outs = []
-        for qid, uniq in uniq_by_q.items():
-            per_term = [by_term[t] for t in uniq if t in by_term]
-            if len(per_term) < len(uniq):
-                continue
-            per_term.sort(key=len)
-            acc = per_term[0]
-            for ids in per_term[1:]:
-                acc = np.intersect1d(acc, ids, assume_unique=True)
-                if acc.shape[0] == 0:
-                    break
-            if deleted and acc.shape[0]:
-                acc = acc[~np.isin(acc, np.fromiter(deleted, dtype=np.int64))]
-            if acc.shape[0]:
-                outs.append(
-                    pd.DataFrame(
-                        {"query_id": qid, "doc_bucket": np.int32(bucket), "doc_id": acc}
-                    )
-                )
-        if not outs:
-            return pd.DataFrame(columns=["query_id", "doc_bucket", "doc_id"])
-        return pd.concat(outs, ignore_index=True)
-
-    n_buckets = -(-int(reader.stats["n_docs"]) // int(reader.stats["doc_bucket_size"]))
-    n_part = max(1, min(spark.sparkContext.defaultParallelism, n_buckets))
-    cands = (
-        blocks.repartition(n_part, "doc_bucket")
-        .groupBy("doc_bucket")
-        .applyInPandas(
-            intersect_batch, schema="query_id string, doc_bucket int, doc_id long"
+    # per-query dense split (same rule as _pseudo_term_search): queries
+    # whose every term is in ≥ half the corpus skip candidate generation;
+    # ONE flat corpus verify serves ALL dense queries of the batch
+    dense_qids = {
+        qid
+        for qid, terms in specs.items()
+        if min(_df_from_idf(n_docs, dict_rows[t][0]) for t in set(terms))
+        >= DENSE_SKIP_FRAC * n_docs
+    }
+    sparse = {q: t for q, t in specs.items() if q not in dense_qids}
+    vschema = "query_id string, doc_id long, ptf int, dl int"
+    parts = []
+    cands = None
+    if sparse:
+        needed = sorted({t for terms in sparse.values() for t in terms})
+        blocks = reader.candidate_blocks(
+            needed, [dict_rows[t][1] for t in needed]
         )
-        .persist()
-    )
-    try:
+        uniq_by_q = {qid: sorted(set(terms)) for qid, terms in sparse.items()}
+
+        def intersect_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .boolean import _decode_term
+
+            by_term = {t: _decode_term(g)[0] for t, g in pdf.groupby("term")}
+            bucket = int(pdf["doc_bucket"].iloc[0])
+            outs = []
+            for qid, uniq in uniq_by_q.items():
+                per_term = [by_term[t] for t in uniq if t in by_term]
+                if len(per_term) < len(uniq):
+                    continue
+                per_term.sort(key=len)
+                acc = per_term[0]
+                for ids in per_term[1:]:
+                    acc = np.intersect1d(acc, ids, assume_unique=True)
+                    if acc.shape[0] == 0:
+                        break
+                if deleted and acc.shape[0]:
+                    acc = acc[~np.isin(acc, np.fromiter(deleted, dtype=np.int64))]
+                if acc.shape[0]:
+                    outs.append(
+                        pd.DataFrame(
+                            {"query_id": qid, "doc_bucket": np.int32(bucket), "doc_id": acc}
+                        )
+                    )
+            if not outs:
+                return pd.DataFrame(columns=["query_id", "doc_bucket", "doc_id"])
+            return pd.concat(outs, ignore_index=True)
+
+        n_bkts = -(-n_docs // int(reader.stats["doc_bucket_size"]))
+        n_part = max(1, min(spark.sparkContext.defaultParallelism, n_bkts))
+        cands = (
+            blocks.repartition(n_part, "doc_bucket")
+            .groupBy("doc_bucket")
+            .applyInPandas(
+                intersect_batch, schema="query_id string, doc_bucket int, doc_id long"
+            )
+            .persist()
+        )
         per_bucket = (
             cands.groupBy("doc_bucket").count().limit(MAX_BUCKET_LIST + 1).collect()
         )
-        if not per_bucket:
-            return spark.createDataFrame([], empty)
-        capped = len(per_bucket) > MAX_BUCKET_LIST
-        # sum over (query, doc) rows upper-bounds the distinct doc count
-        n_cand = None if capped else sum(int(r["count"]) for r in per_bucket)
-        buckets = None if capped else [int(r["doc_bucket"]) for r in per_bucket]
-        docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
-        distinct_ids = cands.select("doc_id").distinct()
-        if n_cand is not None and n_cand <= BROADCAST_CANDIDATES_MAX:
-            distinct_ids = F.broadcast(distinct_ids)
-        live = {qid: kernels[qid] for qid in specs}
+        if per_bucket:
+            capped = len(per_bucket) > MAX_BUCKET_LIST
+            # sum over (query, doc) rows upper-bounds the distinct docs
+            n_cand = None if capped else sum(int(r["count"]) for r in per_bucket)
+            buckets = None if capped else [int(r["doc_bucket"]) for r in per_bucket]
+            docs = reader.doc_source(buckets=buckets).select("doc_id", "text")
+            distinct_ids = cands.select("doc_id").distinct()
+            if n_cand is not None and n_cand <= BROADCAST_CANDIDATES_MAX:
+                distinct_ids = F.broadcast(distinct_ids)
+            live = {qid: kernels[qid] for qid in sparse}
 
-        def verify(batches):
-            # one shared stage: group each Arrow batch by query and run
-            # that query's vectorized kernel over the group's texts —
-            # tokenize-once per (query, doc) row, no per-row Python
+            def verify(batches):
+                # one shared stage: group each Arrow batch by query and
+                # run that query's vectorized kernel over the group's
+                # texts — tokenize-once per (query, doc) row
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    for qid, g in pdf.groupby("query_id", sort=False):
+                        ptf, dl = live[qid](g["text"])
+                        keep = ptf >= 1
+                        if not keep.any():
+                            continue
+                        yield pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "doc_id": g["doc_id"].to_numpy()[keep],
+                                "ptf": ptf[keep],
+                                "dl": dl[keep],
+                            }
+                        )
+
+            parts.append(
+                cands.select("query_id", "doc_id")
+                .join(
+                    docs.join(distinct_ids, "doc_id").select("doc_id", "text"),
+                    "doc_id",
+                )
+                .mapInPandas(verify, vschema)
+            )
+    if dense_qids:
+        # see _pseudo_term_search: the flat scan must drop tombstoned AND
+        # purged docs (both absent from the index, present in staged docs)
+        corpus = _minus_gone(reader, reader.doc_source().select("doc_id", "text"))
+        dense_kernels = {qid: kernels[qid] for qid in sorted(dense_qids)}
+
+        def verify_dense(batches):
+            # every dense query evaluates against every doc — that IS the
+            # flat plan; one corpus scan amortizes across the whole batch
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                for qid, g in pdf.groupby("query_id", sort=False):
-                    ptf, dl = live[qid](g["text"])
+                ids = pdf["doc_id"].to_numpy()
+                for qid, kern in dense_kernels.items():
+                    ptf, dl = kern(pdf["text"])
                     keep = ptf >= 1
                     if not keep.any():
                         continue
                     yield pd.DataFrame(
                         {
                             "query_id": qid,
-                            "doc_id": g["doc_id"].to_numpy()[keep],
+                            "doc_id": ids[keep],
                             "ptf": ptf[keep],
                             "dl": dl[keep],
                         }
                     )
 
-        verified = (
-            cands.select("query_id", "doc_id")
-            .join(docs.join(distinct_ids, "doc_id").select("doc_id", "text"), "doc_id")
-            .mapInPandas(
-                verify, "query_id string, doc_id long, ptf int, dl int"
-            )
-            .persist()
-        )
+        parts.append(corpus.mapInPandas(verify_dense, vschema))
+    if not parts:
+        if cands is not None:
+            cands.unpersist()
+        return spark.createDataFrame([], empty)
+    verified = parts[0]
+    for p in parts[1:]:
+        verified = verified.unionByName(p)
+    verified = verified.persist()
+    n_buckets = -(-n_docs // int(reader.stats["doc_bucket_size"]))
+    try:
         try:
             dfs = {
                 r["query_id"]: int(r["n"])
@@ -552,7 +620,6 @@ def _pseudo_term_batch(
             }
             if not dfs:
                 return spark.createDataFrame([], empty)
-            n_docs = int(reader.stats["n_docs"])
             avgdl = float(reader.stats["avgdl"])
             idf_map = F.create_map(
                 *[
@@ -582,7 +649,8 @@ def _pseudo_term_batch(
         finally:
             verified.unpersist()
     finally:
-        cands.unpersist()
+        if cands is not None:
+            cands.unpersist()
 
 
 def phrase_count(reader, phrase_text: str) -> DataFrame:
