@@ -740,18 +740,26 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    return dd.minhash_lsh_pairs(_docs(spark, sf_dir))
+    handles: list = []
+    out = dd.minhash_lsh_pairs(_docs(spark, sf_dir), cache_handle=handles)
+    return _collect_release(out, handles)
 
 
 def _q_dedup_ngram(spark, sf_dir):
     # exact (uncapped) inverted join — the verification form; the capped
     # default below is the scale configuration
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=None)
+    handles: list = []
+    out = dd.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), max_shingle_df=None, cache_handle=handles
+    )
+    return _collect_release(out, handles)
 
 
 def _q_dedup_ngram_capped(spark, sf_dir):
     # DEFAULT path: Zipf-head shingle cap derived from corpus stats
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    handles: list = []
+    out = dd.ngram_jaccard_pairs(_docs(spark, sf_dir), cache_handle=handles)
+    return _collect_release(out, handles)
 
 
 def _q_dedup_clusters(spark, sf_dir):
@@ -762,7 +770,11 @@ def _q_dedup_clusters(spark, sf_dir):
     from search_spark.operators.cluster import keeper_assignment
 
     docs = _docs(spark, sf_dir)
-    return keeper_assignment(docs, dd.minhash_lsh_pairs(docs))
+    handles: list = []
+    out = keeper_assignment(
+        docs, dd.minhash_lsh_pairs(docs, cache_handle=handles)
+    )
+    return _collect_release(out, handles)
 
 
 def _q_simhash_fps(spark, sf_dir):

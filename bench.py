@@ -311,7 +311,10 @@ def run_pipeline_ops(spark, sf_dir: str) -> dict:
     out = {}
 
     t0 = time.perf_counter()
-    dd.minhash_lsh_pairs(docs).count()
+    handles = []
+    dd.minhash_lsh_pairs(docs, cache_handle=handles).count()
+    for h in handles:
+        h.unpersist()
     out["dedup_minhash"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
@@ -319,7 +322,10 @@ def run_pipeline_ops(spark, sf_dir: str) -> dict:
     out["dedup_simhash"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
-    dd.ngram_jaccard_pairs(docs).count()  # default = corpus-derived cap
+    handles = []
+    dd.ngram_jaccard_pairs(docs, cache_handle=handles).count()  # default cap
+    for h in handles:
+        h.unpersist()
     out["dedup_ngram_capped"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
@@ -706,7 +712,7 @@ def _skew_variant(spark, corpus_path: str, queries: dict[str, str]) -> dict:
         handle: list = []
         docs = assign_doc_ids(tr, cache_handle=handle).select("doc_id", "text")
         t0 = time.perf_counter()
-        pairs = minhash_lsh_pairs(docs)
+        pairs = minhash_lsh_pairs(docs, cache_handle=handle)
         n_pairs = pairs.persist().count()
         t_pairs = time.perf_counter() - t0
         clusters = dup_clusters(pairs)
