@@ -782,7 +782,9 @@ def _q_simhash_fps(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    return dd.simhash_pairs(_docs(spark, sf_dir))
+    handles: list = []
+    out = dd.simhash_pairs(_docs(spark, sf_dir), cache_handle=handles)
+    return _collect_release(out, handles)
 
 
 EMB_DIM = 64
@@ -818,9 +820,12 @@ def _q_cos_pairs(spark, sf_dir):
     """Serving form: banded LSH candidates + exact cosine — no cartesian
     anywhere in the plan (the brute all-pairs form rides the
     embedding_top_pairs_brute entry as the verification tool)."""
-    return sim.cosine_top_pairs_lsh(
-        _emb(spark, sf_dir), PAIR_TOP_N, EMB_DIM, PAIR_LSH_TABLES, PAIR_LSH_PLANES, PAIR_MAX_BAND
+    handles: list = []
+    out = sim.cosine_top_pairs_lsh(
+        _emb(spark, sf_dir), PAIR_TOP_N, EMB_DIM, PAIR_LSH_TABLES,
+        PAIR_LSH_PLANES, PAIR_MAX_BAND, cache_handle=handles,
     )
+    return _collect_release(out, handles)
 
 
 def _q_cos_pairs_brute(spark, sf_dir):
@@ -973,10 +978,12 @@ NEAR_DUP_COS_T = 0.4  # corpus-specific: top pair cosines sit at 0.40-0.51
 
 def _q_cos_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the dedup-family threshold form)."""
-    return sim.cosine_near_dup_pairs(
-        _emb(spark, sf_dir), NEAR_DUP_COS_T, EMB_DIM, PAIR_LSH_TABLES, PAIR_LSH_PLANES,
-        PAIR_MAX_BAND,
+    handles: list = []
+    out = sim.cosine_near_dup_pairs(
+        _emb(spark, sf_dir), NEAR_DUP_COS_T, EMB_DIM, PAIR_LSH_TABLES,
+        PAIR_LSH_PLANES, PAIR_MAX_BAND, cache_handle=handles,
     )
+    return _collect_release(out, handles)
 
 
 def _q_media_meta(spark, sf_dir):

@@ -318,7 +318,10 @@ def run_pipeline_ops(spark, sf_dir: str) -> dict:
     out["dedup_minhash"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
-    dd.simhash_pairs(docs).count()
+    handles = []
+    dd.simhash_pairs(docs, cache_handle=handles).count()
+    for h in handles:
+        h.unpersist()
     out["dedup_simhash"] = round(time.perf_counter() - t0, 4)
 
     t0 = time.perf_counter()
@@ -348,7 +351,10 @@ def run_pipeline_ops(spark, sf_dir: str) -> dict:
         shutil.rmtree(lsh_root, ignore_errors=True)
 
     t0 = time.perf_counter()
-    sim.cosine_top_pairs_lsh(emb, 50, dim=64, tables=8).count()
+    handles = []
+    sim.cosine_top_pairs_lsh(emb, 50, dim=64, tables=8, cache_handle=handles).count()
+    for h in handles:
+        h.unpersist()
     out["embedding_top_pairs"] = round(time.perf_counter() - t0, 4)
 
     # composed training-corpus materialization (VERDICT r3 #6) — the one

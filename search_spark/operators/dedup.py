@@ -342,12 +342,20 @@ def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = SIMHASH_MAX_HAMMING,
     max_band_size: int = MAX_BAND_SIZE,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Candidate pairs whose byte-banded SimHashes collide, filtered by
     Hamming distance ≤ max_hamming.  Output (a_id, b_id, hamming INT).
     Band groups above ``max_band_size`` are dropped (a corpus of identical
-    fingerprints would otherwise form one unbounded join group)."""
+    fingerprints would otherwise form one unbounded join group).
+
+    ``cache_handle``: persist the fingerprint aggregate across the four
+    band branches + both self-join sides (cache_handle contract — the
+    caller unpersists after materializing)."""
     fps = simhash_fingerprints(docs)
+    if cache_handle is not None:
+        fps = fps.persist()
+        cache_handle.append(fps)
     bands = []
     for i in range(4):
         bands.append(

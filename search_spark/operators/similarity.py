@@ -149,6 +149,7 @@ def lsh_candidate_pairs(
     tables: int = LSH_TABLES,
     planes: int = LSH_PLANES,
     max_band_size: int = MAX_BAND_SIZE,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Banded candidate pairs: (a_id, b_id), a_id < b_id, sharing at least
     one (table, bucket) — the embedding analogue of dedup.lsh_candidates.
@@ -159,6 +160,12 @@ def lsh_candidate_pairs(
     """
     b = lsh_bucketed(emb, dim, tables, planes).select("vec_id", "table_id", "bucket")
     kept = band_guard(b, ["table_id", "bucket"], max_band_size)
+    if cache_handle is not None:
+        # the guarded bucket table feeds BOTH self-join sides; without the
+        # persist each side re-runs the 8-table hyperplane bucketing AND
+        # the guard window (cache_handle contract — caller unpersists)
+        kept = kept.persist()
+        cache_handle.append(kept)
     a = kept.select(F.col("vec_id").alias("a_id"), "table_id", "bucket")
     c = kept.select(F.col("vec_id").alias("b_id"), "table_id", "bucket")
     return (
@@ -197,6 +204,7 @@ def cosine_top_pairs_lsh(
     tables: int = LSH_TABLES,
     planes: int = LSH_PLANES,
     max_band_size: int = MAX_BAND_SIZE,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Top-N most-similar pairs AMONG banded LSH candidates — the serving
     form of :func:`cosine_top_pairs` with no cartesian product anywhere in
@@ -208,7 +216,9 @@ def cosine_top_pairs_lsh(
     defined semantics — the DuckDB oracle mirrors the banding exactly, and
     coverage vs the brute form is pinned in tests.
     """
-    cand = lsh_candidate_pairs(emb, dim, tables, planes, max_band_size)
+    cand = lsh_candidate_pairs(
+        emb, dim, tables, planes, max_band_size, cache_handle=cache_handle
+    )
     pairs = _exact_cosine_of_pairs(cand, emb)
     return pairs.orderBy(F.desc("cos_micro"), F.asc("a_id"), F.asc("b_id")).limit(n)
 
@@ -220,6 +230,7 @@ def cosine_near_dup_pairs(
     tables: int = LSH_TABLES,
     planes: int = LSH_PLANES,
     max_band_size: int = MAX_BAND_SIZE,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine NEAR-DUP pairs (the dedup-family form): every
     banded candidate pair with cosine ≥ threshold, output
@@ -231,7 +242,9 @@ def cosine_near_dup_pairs(
     banding (higher thresholds → higher collision probability → higher
     recall); the DuckDB oracle mirrors the banding, and sign-LSH theory
     gives per-pair collision ≥ 1-(1-(1-acos(τ)/π)^planes)^tables at τ."""
-    cand = lsh_candidate_pairs(emb, dim, tables, planes, max_band_size)
+    cand = lsh_candidate_pairs(
+        emb, dim, tables, planes, max_band_size, cache_handle=cache_handle
+    )
     pairs = _exact_cosine_of_pairs(cand, emb)
     return pairs.filter(F.col("cos_micro") >= int(round(threshold * 1e6)))
 
