@@ -1179,12 +1179,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_long": _q_phrase_long,
         "phrase_count": _q_phrase_count,
         "near_topk": _q_near,
-        "dedup_exact": _q_dedup_exact,
+        # capped n-gram swapped IN for round 4 (shingle cache_handle +
+        # auto-cap changed this round; re-earns a driver row) in place of
+        # dedup_exact (2 consecutive greens, md5 path untouched)
+        "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
         "dedup_minhash_lsh": _q_dedup_minhash,
         # -------------------- 50-slot cap falls here --------------------
         # rotated out (≥2 consecutive green driver rounds, untouched):
+        "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
-        "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
         "bm25_topk_head": _q_bm25_head,
         "bm25_topk_mix": _q_bm25_mix,
         "bm25_topk_rare": _q_bm25_rare,
