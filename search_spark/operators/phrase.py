@@ -661,6 +661,28 @@ def phrase_count(reader, phrase_text: str) -> DataFrame:
     empty = "n_docs bigint, n_occurrences bigint"
     if not terms:
         return spark.createDataFrame([(0, 0)], empty)
+    uniq = sorted(set(terms))
+    dict_rows = reader._dictionary_rows(uniq)
+    if len(dict_rows) < len(uniq):  # OOV term → 0 matches
+        return spark.createDataFrame([(0, 0)], empty)
+    n_docs = int(reader.stats["n_docs"])
+    min_df = min(_df_from_idf(n_docs, idf) for idf, _ in dict_rows.values())
+    if min_df >= DENSE_SKIP_FRAC * n_docs:
+        # head-only phrase: flat corpus verify (see _pseudo_term_search)
+        row = (
+            _verify_stage(
+                _minus_gone(reader, reader.doc_source().select("doc_id", "text")),
+                lambda texts: phrase_tf_np(texts, terms),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.coalesce(F.sum("ptf"), F.lit(0)).cast("bigint").alias("n_occurrences"),
+            )
+            .collect()[0]
+        )
+        return spark.createDataFrame(
+            [(int(row["n_docs"]), int(row["n_occurrences"]))], empty
+        )
     cands = conjunctive_doc_ids(reader, terms)
     if cands is None:
         return spark.createDataFrame([(0, 0)], empty)
