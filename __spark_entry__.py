@@ -251,8 +251,8 @@ NEAR_BATCH = [("n1", "table hash", 3), ("n2", "table hash", 0), ("n3", "merge st
 
 def _q_near_batch(spark, sf_dir):
     """N proximity queries in ONE shared-scan job (operators/phrase.
-    near_batch): per-query terms AND slop ride the broadcast parameter
-    table, one positional verify for the whole batch."""
+    near_batch): per-query terms AND slop live in the verify kernels'
+    closures, one tokenize-once positional verify for the whole batch."""
     from search_spark.operators.phrase import near_batch
 
     res = near_batch(_wand_reader(spark, sf_dir), NEAR_BATCH, _TOPK)

@@ -31,7 +31,13 @@ import pandas as pd
 
 from ..analyzer import tokenize_arrow
 
-__all__ = ["flat_tokens", "phrase_tf_np", "near_tf_np"]
+__all__ = [
+    "flat_tokens",
+    "phrase_tf_np",
+    "near_tf_np",
+    "phrase_tf_from_flat",
+    "near_tf_from_flat",
+]
 
 
 def flat_tokens(texts: pd.Series | list):
@@ -61,12 +67,19 @@ def phrase_tf_np(texts, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """(ptf, dl) int32 arrays for a batch: exact ordered-phrase occurrence
     counts (overlapping counted) of ``terms`` per text."""
     flat, di, dl = flat_tokens(texts)
+    return phrase_tf_from_flat(flat, di, dl, terms), dl
+
+
+def phrase_tf_from_flat(flat, di, dl, terms: list[str]) -> np.ndarray:
+    """Counting core of :func:`phrase_tf_np` over a PRE-TOKENIZED batch
+    (the ``flat_tokens`` triple) — lets a multi-query verify stage pay the
+    tokenize cost once per Arrow batch, not once per query."""
     n = len(dl)
     w = len(terms)
     L = len(flat)
     M = L - w + 1
     if w == 0 or M <= 0:
-        return np.zeros(n, dtype=np.int32), dl
+        return np.zeros(n, dtype=np.int32)
     eq = _term_masks(flat, terms)
     m = eq[terms[0]][0:M].copy()
     for j in range(1, w):
@@ -74,8 +87,7 @@ def phrase_tf_np(texts, terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
     # the whole window must sit inside one doc (flat is doc-ordered)
     if w > 1:
         m &= di[0:M] == di[w - 1 : L]
-    ptf = np.bincount(di[0:M][m], minlength=n).astype(np.int32)
-    return ptf, dl
+    return np.bincount(di[0:M][m], minlength=n).astype(np.int32)
 
 
 def near_tf_np(
@@ -85,11 +97,19 @@ def near_tf_np(
     offsets whose window of ``|distinct terms| + slop`` tokens (clamped to
     the doc) contains all distinct terms — `near_tf_col` semantics."""
     flat, di, dl = flat_tokens(texts)
+    return near_tf_from_flat(flat, di, dl, terms, slop), dl
+
+
+def near_tf_from_flat(
+    flat, di, dl, terms: list[str], slop: int
+) -> np.ndarray:
+    """Counting core of :func:`near_tf_np` over a pre-tokenized batch
+    (same tokenize-once contract as :func:`phrase_tf_from_flat`)."""
     n = len(dl)
     uniq = sorted(set(terms))
     n_uniq = len(uniq)
     if n_uniq == 0:
-        return np.zeros(n, dtype=np.int32), dl
+        return np.zeros(n, dtype=np.int32)
     w = n_uniq + slop
     L = len(flat)
     eq = _term_masks(flat, uniq)
@@ -116,4 +136,4 @@ def near_tf_np(
         for t in uniq:
             pres &= np.bincount(di[eq[t]], minlength=n) > 0
         ptf[pres] = 1
-    return ptf, dl
+    return ptf

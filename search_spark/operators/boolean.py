@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from .. import codec
 from ..analyzer import tokenize
 from ..functions.bm25 import B, K1
+from .wand import tombstones_ref
 
 _EMPTY_SCHEMA = "doc_id bigint, score double"
 
@@ -82,9 +83,10 @@ def matching_doc_ids(reader, terms: list[str], mode: str = "all") -> DataFrame |
     blocks = reader.candidate_blocks(live, [b for _, b in dict_rows.values()])
     n_terms = len(live)
     conj = mode == "all"
-    deleted = getattr(reader, "deleted", frozenset()) or None
+    deleted_small, deleted_bc = tombstones_ref(reader)
 
     def combine(pdf: pd.DataFrame) -> pd.DataFrame:
+        deleted = deleted_bc.value if deleted_bc is not None else deleted_small
         per_term = [
             _decode_term(g)[0] for _, g in pdf.groupby("term")
         ]
@@ -242,9 +244,10 @@ def boolean_batch(
     avgdl = float(reader.stats["avgdl"])
     idf_b = {t: idf for t, (idf, _) in dict_rows.items() if t in needed}
     specs_b = dict(specs)
-    deleted = getattr(reader, "deleted", frozenset()) or None
+    deleted_small, deleted_bc = tombstones_ref(reader)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        deleted = deleted_bc.value if deleted_bc is not None else deleted_small
         by_term = {t: _decode_term(g) for t, g in pdf.groupby("term")}
         outs = []
         for qid, (must_l, should_l, mnot_l) in specs_b.items():

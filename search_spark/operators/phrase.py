@@ -50,8 +50,15 @@ from pyspark.sql import functions as F
 from .. import codec
 from ..analyzer import tokenize
 from ..functions.bm25 import term_score_col
-from ..functions.positional import near_tf_np, phrase_tf_np
+from ..functions.positional import (
+    flat_tokens,
+    near_tf_from_flat,
+    near_tf_np,
+    phrase_tf_from_flat,
+    phrase_tf_np,
+)
 from ..oracle import idf as oracle_idf
+from .wand import tombstones_ref
 
 #: broadcast the candidate side of the verify join only below this many
 #: candidate docs (driver-side count; above it fall back to a shuffled
@@ -117,9 +124,10 @@ def conjunctive_doc_ids(reader, terms: list[str]) -> DataFrame | None:
         return None
     blocks = reader.candidate_blocks(uniq, [b for _, b in dict_rows.values()])
     n_terms = len(uniq)
-    deleted = getattr(reader, "deleted", frozenset()) or None
+    deleted_small, deleted_bc = tombstones_ref(reader)
 
     def intersect(pdf: pd.DataFrame) -> pd.DataFrame:
+        deleted = deleted_bc.value if deleted_bc is not None else deleted_small
         per_term = []
         for _, g in pdf.groupby("term"):
             ids = np.concatenate(
@@ -238,15 +246,13 @@ def _minus_gone(reader, docs: DataFrame) -> DataFrame:
     live tombstones (logical deletes) plus the purged ledger (physical
     purge removes postings during compaction but leaves the staged doc
     files in place).  Broadcast anti-join — never an ``isin`` literal
-    list (delete sets are thousands-to-millions of ids)."""
-    gone = (getattr(reader, "deleted", frozenset()) or frozenset()) | (
-        reader.store.purged_ids()
-    )
-    if not gone:
+    list (delete sets are thousands-to-millions of ids).  The gone-ids
+    DataFrame is built ONCE per reader snapshot from a numpy array
+    (wand.IndexReader.gone_ids_df), not re-serialized through the driver
+    as Python row tuples on every dense query."""
+    gone_df = reader.gone_ids_df()
+    if gone_df is None:
         return docs
-    gone_df = reader.spark.createDataFrame(
-        [(int(d),) for d in sorted(gone)], "doc_id long"
-    )
     return docs.join(F.broadcast(gone_df), "doc_id", "left_anti")
 
 
@@ -337,11 +343,13 @@ def _pseudo_term_search(reader, terms: list[str], kernel, k: int) -> DataFrame:
 
 
 def phrase_tf_dyn_col(toks, terms_col):
-    """Column-parameterized twin of :func:`phrase_tf_col`: the phrase comes
-    from an ``array<string>`` COLUMN instead of a Python literal, so ONE
-    generated expression serves every query in a batch (whole-stage
-    codegen compiles it once; per-row the terms array is just data).
-    Equality with the literal form is property-tested."""
+    """Column-parameterized JVM twin of :func:`phrase_tf_col` (the phrase
+    arrives as an ``array<string>`` COLUMN).  TEST-ONLY SEMANTIC PIN: the
+    production batch verify runs the numpy kernels in mapInPandas
+    closures (:func:`_pseudo_term_batch`) — higher-order-function lambdas
+    are interpreted, measured ~10× the tokenize cost — and this
+    expression exists so property tests can pin the kernels against an
+    independent JVM implementation."""
     w = F.size(terms_col)
     starts = F.sequence(F.lit(1), F.size(toks) - w + F.lit(1))
     guarded = F.when(F.size(toks) >= w, starts).otherwise(
@@ -375,10 +383,14 @@ def phrase_batch(reader, queries: list[tuple[str, str]], k: int = 10) -> DataFra
        per bucket each term decodes ONCE for the whole batch, then the
        per-query conjunctive intersection loops queries (the
        boolean_batch / wand.batch_search shape).
-    2. ONE positional verify: distinct candidate docs tokenize once, then
-       (query, candidate) pairs evaluate the column-parameterized phrase
-       tf — the verify join stays candidate-sized and the tokenized cache
-       is shared across queries that hit the same docs.
+    2. ONE ``mapInPandas`` positional verify: each Arrow batch of
+       (query, candidate, text) rows tokenizes once per row group
+       (analyzer.tokenize_arrow) and counts matches with the numpy
+       shifted-slice kernels (functions/positional) — per-query terms and
+       slop live in driver-sized kernel closures, never a join column.
+       The interpreted JVM higher-order-function twins
+       (:func:`phrase_tf_dyn_col` / :func:`near_tf_dyn_col`) stay as
+       property-test semantic pins only.
 
     Per-query semantics are unchanged: empty/OOV phrase or no occurrence
     → 0 rows for that query only.  df (and so idf) per query comes from
@@ -390,9 +402,11 @@ def phrase_batch(reader, queries: list[tuple[str, str]], k: int = 10) -> DataFra
     return _pseudo_term_batch(
         reader,
         specs,
-        # ORDERED terms (dups kept): phrase matching is positional
+        # ORDERED terms (dups kept): phrase matching is positional.
+        # Kernels take the PRE-TOKENIZED flat_tokens triple so verify
+        # stages tokenize each Arrow batch once for the whole query set.
         kernels={
-            qid: (lambda texts, t=t: phrase_tf_np(texts, t))
+            qid: (lambda fdl, t=t: phrase_tf_from_flat(*fdl, t))
             for qid, t in specs.items()
         },
         k=k,
@@ -406,9 +420,9 @@ def near_batch(
     (query_id, rank, doc_id, score, ptf) — :func:`near_search` semantics
     per query (all distinct terms co-occur within |terms|+slop tokens,
     scored as one pseudo-term), batched exactly like :func:`phrase_batch`:
-    one shared pruned posting scan, one shared positional verify with the
-    column-parameterized window expression (per-query terms AND slop are
-    data, not plan)."""
+    one shared pruned posting scan, one shared tokenize-once mapInPandas
+    verify running each query's numpy window kernel (per-query terms AND
+    slop live in the kernel closures, not the plan)."""
     parsed = {qid: (tokenize(text), int(slop)) for qid, text, slop in queries}
     specs = {qid: t for qid, (t, _) in parsed.items() if t}
     return _pseudo_term_batch(
@@ -416,7 +430,9 @@ def near_batch(
         specs,
         kernels={
             qid: (
-                lambda texts, t=t, s=parsed[qid][1]: near_tf_np(texts, t, s)
+                lambda fdl, t=t, s=parsed[qid][1]: near_tf_from_flat(
+                    *fdl, t, s
+                )
             )
             for qid, t in specs.items()
         },
@@ -425,10 +441,12 @@ def near_batch(
 
 
 def near_tf_dyn_col(toks, uniq_col, slop_col):
-    """Column-parameterized twin of :func:`near_tf_col`: distinct terms and
-    slop arrive as COLUMNS so one generated expression serves a whole
-    batch.  ``uniq_col`` must hold the query's DISTINCT terms (the window
-    width is |distinct terms| + slop, as in the literal form)."""
+    """Column-parameterized JVM twin of :func:`near_tf_col` (distinct
+    terms and slop arrive as COLUMNS).  TEST-ONLY SEMANTIC PIN — see
+    :func:`phrase_tf_dyn_col`; production batches run the numpy window
+    kernel (functions/positional.near_tf_from_flat).  ``uniq_col`` must
+    hold the query's DISTINCT terms (the window width is
+    |distinct terms| + slop, as in the literal form)."""
     w = F.size(uniq_col) + slop_col
     w_eff = F.least(w, F.size(toks))
     starts = F.sequence(F.lit(1), F.size(toks) - w_eff + F.lit(1))
@@ -451,10 +469,12 @@ def _pseudo_term_batch(
 ) -> DataFrame:
     """Shared batched prune-then-verify engine (phrase_batch, near_batch):
     ``parsed`` maps query_id → conjunctive candidate terms; ``kernels``
-    maps query_id → the Arrow-vectorized positional kernel
-    (``texts -> (ptf, dl)``) evaluated per query group inside the one
-    shared ``mapInPandas`` verify stage — per-query terms/slop live in
-    the kernel closures (driver-sized: ≤ batch terms), not a join."""
+    maps query_id → the Arrow-vectorized positional counting kernel over
+    a PRE-TOKENIZED batch (``(flat, di, dl) -> ptf``), evaluated inside
+    the shared ``mapInPandas`` verify stages — per-query terms/slop live
+    in the kernel closures (driver-sized: ≤ batch terms), not a join, and
+    each Arrow batch tokenizes ONCE no matter how many queries consume
+    it."""
     from .wand import ranked_topk
 
     spark = reader.spark
@@ -471,7 +491,7 @@ def _pseudo_term_batch(
     if not specs:
         return spark.createDataFrame([], empty)
     n_docs = int(reader.stats["n_docs"])
-    deleted = getattr(reader, "deleted", frozenset()) or None
+    deleted_small, deleted_bc = tombstones_ref(reader)
     # per-query dense split (same rule as _pseudo_term_search): queries
     # whose every term is in ≥ half the corpus skip candidate generation;
     # ONE flat corpus verify serves ALL dense queries of the batch
@@ -495,6 +515,7 @@ def _pseudo_term_batch(
         def intersect_batch(pdf: pd.DataFrame) -> pd.DataFrame:
             from .boolean import _decode_term
 
+            deleted = deleted_bc.value if deleted_bc is not None else deleted_small
             by_term = {t: _decode_term(g)[0] for t, g in pdf.groupby("term")}
             bucket = int(pdf["doc_bucket"].iloc[0])
             outs = []
@@ -546,13 +567,15 @@ def _pseudo_term_batch(
 
             def verify(batches):
                 # one shared stage: group each Arrow batch by query and
-                # run that query's vectorized kernel over the group's
-                # texts — tokenize-once per (query, doc) row
+                # run that query's vectorized counting kernel over the
+                # group's pre-tokenized texts (groups are disjoint row
+                # sets, so each (query, doc) row tokenizes exactly once)
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
                     for qid, g in pdf.groupby("query_id", sort=False):
-                        ptf, dl = live[qid](g["text"])
+                        fdl = flat_tokens(g["text"])
+                        ptf = live[qid](fdl)
                         keep = ptf >= 1
                         if not keep.any():
                             continue
@@ -561,7 +584,7 @@ def _pseudo_term_batch(
                                 "query_id": qid,
                                 "doc_id": g["doc_id"].to_numpy()[keep],
                                 "ptf": ptf[keep],
-                                "dl": dl[keep],
+                                "dl": fdl[2][keep],
                             }
                         )
 
@@ -581,13 +604,16 @@ def _pseudo_term_batch(
 
         def verify_dense(batches):
             # every dense query evaluates against every doc — that IS the
-            # flat plan; one corpus scan amortizes across the whole batch
+            # flat plan; one corpus scan amortizes across the whole batch,
+            # and each Arrow batch TOKENIZES once (flat_tokens), with only
+            # the cheap counting kernels looping per query
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 ids = pdf["doc_id"].to_numpy()
+                fdl = flat_tokens(pdf["text"])
                 for qid, kern in dense_kernels.items():
-                    ptf, dl = kern(pdf["text"])
+                    ptf = kern(fdl)
                     keep = ptf >= 1
                     if not keep.any():
                         continue
@@ -596,7 +622,7 @@ def _pseudo_term_batch(
                             "query_id": qid,
                             "doc_id": ids[keep],
                             "ptf": ptf[keep],
-                            "dl": dl[keep],
+                            "dl": fdl[2][keep],
                         }
                     )
 
@@ -638,6 +664,25 @@ def _pseudo_term_batch(
                     F.lit(avgdl),
                     idf_map[F.col("query_id")],
                 ).alias("score"),
+            )
+            # ranked_topk's cost bound assumes ≤ k rows per (query, doc
+            # group); verified rows are ALL matches — a dense query can
+            # match half the corpus, which would funnel through one window
+            # task whenever n_buckets ≤ MERGE_FANOUT.  Pre-reduce to the
+            # per-(query, doc_bucket) top-k first: each doc lives in
+            # exactly one derived bucket, so every global winner is a
+            # bucket winner — exactness preserved, ≤ doc_bucket_size rows
+            # per window partition, parallelism = populated buckets.
+            dbs = int(reader.stats["doc_bucket_size"])
+            from pyspark.sql import Window
+
+            pre = Window.partitionBy(
+                "query_id", F.expr(f"doc_id DIV {dbs}")
+            ).orderBy(F.desc("score"), F.asc("doc_id"))
+            scored = (
+                scored.withColumn("_br", F.row_number().over(pre))
+                .filter(F.col("_br") <= k)
+                .drop("_br")
             )
             out = ranked_topk(scored, k, n_buckets, extra=("ptf",))
             rows = out.collect()  # ≤ k × |queries| — materialize pre-unpersist

@@ -443,6 +443,18 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
+def tombstones_ref(reader) -> tuple[frozenset | None, object | None]:
+    """(small_set, broadcast) for any reader-like object — the shared
+    entry point scorer modules (boolean/phrase/keywords) use so every
+    delete-aware closure picks the same ship-vs-broadcast strategy.
+    Falls back to closure shipping for readers without the method
+    (test fakes)."""
+    ref = getattr(reader, "tombstones_ref", None)
+    if ref is not None:
+        return ref()
+    return (getattr(reader, "deleted", frozenset()) or None), None
+
+
 class IndexReader:
     """Query-side handle on a persisted index (analogue of the loaded
     ``Index[T]`` in /root/reference/example/main.go:59-65, but lazy: only
@@ -481,7 +493,53 @@ class IndexReader:
         # term → (idf, term_bucket), or None for known-absent terms —
         # negative entries stop OOV terms from re-running the lookup job
         self._term_cache: dict[str, tuple[float, int] | None] = {}
+        # snapshot-scoped caches for the delete set's two serving forms
+        # (built lazily, invalidated here because the set is snapshot state)
+        self._gone_df = None
+        if getattr(self, "_deleted_bc", None) is not None:
+            self._deleted_bc.unpersist()
+        self._deleted_bc = None
         return self
+
+    #: ship tombstones per-task in the closure below this size (driver-
+    #: sized sets serialize fine); above it use ONE broadcast per snapshot
+    #: so a lazily-compacted store with millions of tombstones doesn't pay
+    #: the pickle cost on every task of every query
+    TOMBSTONE_BROADCAST_MIN = 100_000
+
+    def tombstones_ref(self):
+        """(small_set, broadcast) — exactly one is non-None when tombstones
+        exist.  Scorer closures capture both; executors resolve via
+        ``bc.value if bc is not None else small``.  Results are identical
+        on either path (pinned in tests/test_deletes.py)."""
+        if not self.deleted:
+            return None, None
+        if len(self.deleted) < self.TOMBSTONE_BROADCAST_MIN:
+            return self.deleted, None
+        if self._deleted_bc is None:
+            self._deleted_bc = self.spark.sparkContext.broadcast(self.deleted)
+        return None, self._deleted_bc
+
+    def gone_ids_df(self) -> DataFrame | None:
+        """Tombstoned ∪ purged doc_ids as a (cached per snapshot) single-
+        column DataFrame for anti-joins — built from a numpy array via
+        Arrow, not a per-id Python row list (delete sets are thousands to
+        millions of ids; re-materializing them through the driver on every
+        flat-scan query was a measured per-call cost)."""
+        if self._gone_df is None:
+            gone = (self.deleted or frozenset()) | self.store.purged_ids()
+            if not gone:
+                self._gone_df = False  # sentinel: nothing to exclude
+            else:
+                import numpy as np
+                import pandas as pd
+
+                arr = np.fromiter(gone, dtype=np.int64)
+                arr.sort()
+                self._gone_df = self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": arr})
+                )
+        return None if self._gone_df is False else self._gone_df
 
     def _dictionary_rows(self, terms: list[str]) -> dict[str, tuple[float, int]]:
         """term → (idf, term_bucket).  ONE Spark job for the batch's UNSEEN
@@ -598,9 +656,13 @@ class IndexReader:
                 raise ValueError(f"boosts must be positive: {boosts}")
             idf_b = {t: idf * float(boosts.get(t, 1.0)) for t, idf in idf_b.items()}
         qterms_b = dict(qterms)  # captured in the closure (tiny)
-        deleted_b = self.deleted or None  # driver-sized; ships in the closure
+        # small delete sets ride the closure; large ones go through ONE
+        # broadcast per snapshot (TOMBSTONE_BROADCAST_MIN) — identical
+        # results either way, pinned in tests/test_deletes.py
+        deleted_small, deleted_bc = self.tombstones_ref()
 
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            deleted_b = deleted_bc.value if deleted_bc is not None else deleted_small
             by_term = {t: g for t, g in pdf.groupby("term")}
             outs = []
             # ONE decode cache per bucket group: shared-term blocks decode
@@ -696,13 +758,31 @@ class IndexReader:
             sources.append(batch.select(*cols))
         sdocs_root = os.path.join(self.store.root, "stream_docs")
         if os.path.exists(sdocs_root):
-            stream = (
-                self.spark.read.option("basePath", sdocs_root)
-                .parquet(sdocs_root)
+            # only INDEX-ACKNOWLEDGED batches: stream docs land on disk
+            # BEFORE their postings commit (streaming/ingest.py writes
+            # stream_docs, then postings, then the ledger done-mark), so a
+            # flat scan during a live or crashed micro-batch would surface
+            # docs the index never served — diverging from the candidate
+            # path on the same store state.  Mirror the index's own
+            # discovery: the stream_batches ledger.
+            acked = sorted(
+                int(b)
+                for b, v in self.store.checkpoints()
+                .get("stream_batches", {})
+                .items()
+                if v.get("status") == "done" and v.get("n_docs", 0) > 0
             )
-            if buckets is not None and "doc_bucket" in stream.columns:
-                stream = stream.filter(F.col("doc_bucket").isin(sorted(set(buckets))))
-            sources.append(stream.select(*cols))
+            if acked:
+                stream = (
+                    self.spark.read.option("basePath", sdocs_root)
+                    .parquet(sdocs_root)
+                    .filter(F.col("batch").isin(acked))
+                )
+                if buckets is not None and "doc_bucket" in stream.columns:
+                    stream = stream.filter(
+                        F.col("doc_bucket").isin(sorted(set(buckets)))
+                    )
+                sources.append(stream.select(*cols))
         if not sources:
             raise FileNotFoundError(
                 f"no docs staged under {self.store.root} (neither batch docs "
