@@ -262,3 +262,50 @@ def test_reconcile_purged_stats_repairs_crash_window(spark, store):
     assert store.reconcile_purged_stats() is True
     assert store.stats() == good
     assert store.reconcile_purged_stats() is False  # already applied
+
+
+def test_tombstone_broadcast_path_identical(spark, store):
+    """Past TOMBSTONE_BROADCAST_MIN the delete set ships as ONE broadcast
+    per snapshot instead of per-task closures; results must be identical
+    on both paths, across the wand, boolean, phrase and batch engines."""
+    from search_spark.operators.boolean import boolean_batch
+    from search_spark.operators.phrase import near_batch, phrase_batch
+    from search_spark.operators.wand import IndexReader
+
+    store.delete_docs(_deleted(spark))
+    reader = IndexReader(spark, store)
+
+    def snapshot():
+        out = {
+            "wand": _ids(reader.batch_search([("q", Q)], 10).drop("query_id")),
+            "bool": _ids(
+                boolean_search(reader, must="the order", k=10).select(
+                    "doc_id", "score"
+                )
+            ),
+            "phrase": _ids(phrase_search(reader, "the fast", 10).select("doc_id", "score")),
+        }
+        out["pbatch"] = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"] * 1e6))
+            for r in phrase_batch(reader, [("a", "the fast"), ("b", "fast order")], 5).collect()
+        )
+        out["nbatch"] = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"] * 1e6))
+            for r in near_batch(reader, [("a", "fast order", 2)], 5).collect()
+        )
+        return out
+
+    small, bc = reader.tombstones_ref()
+    assert small is not None and bc is None  # closure path by default
+    closure_results = snapshot()
+
+    orig = IndexReader.TOMBSTONE_BROADCAST_MIN
+    try:
+        IndexReader.TOMBSTONE_BROADCAST_MIN = 1
+        reader.refresh()  # drop the cached ref so the threshold re-applies
+        small, bc = reader.tombstones_ref()
+        assert small is None and bc is not None  # broadcast path active
+        assert snapshot() == closure_results
+    finally:
+        IndexReader.TOMBSTONE_BROADCAST_MIN = orig
+        reader.refresh()
