@@ -856,6 +856,32 @@ def _q_ann_lsh(spark, sf_dir):
     return _lsh_index(spark, sf_dir).topk_for_ids(ANN_QUERY_IDS, ANN_K, radius=1)
 
 
+def _emb_delete_ids(sf_dir: str) -> frozenset:
+    """Synthetic serve-time tombstones over the embeddings table — the
+    vec_id analogue of _delete_ids (vec_id % 7 == 3)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        n = con.execute(
+            f"SELECT max(vec_id) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    return frozenset(v for v in range(int(n) + 1) if v % 7 == 3)
+
+
+def _q_ann_lsh_tombstoned(spark, sf_dir):
+    """Serve-time tombstones over the persisted LSH layout: deleted
+    vec_ids are unservable as queries OR candidates until a rebuild —
+    the ANN analogue of bm25_tombstoned (the reference's index is
+    append-only, /root/reference/index.go:44-50, so logical deletes must
+    be honored at query time)."""
+    return _lsh_index(spark, sf_dir).topk_for_ids(
+        ANN_QUERY_IDS, ANN_K, radius=1, deleted=_emb_delete_ids(sf_dir)
+    )
+
+
 _IVF_CACHE: dict[str, object] = {}
 
 
@@ -910,6 +936,26 @@ def _ann_lsh_oracle() -> str | None:
         )
     except Exception:
         return None  # missing gate data → driver records rows-only
+
+
+def _ann_lsh_tomb_oracle() -> str | None:
+    """_q_ann_lsh_tombstoned mirror: same expansion, with the tombstone
+    predicate excluding deleted ids from both query and candidate sides."""
+    try:
+        from search_spark.operators.ann_index import auto_planes
+
+        n = len(_gate_emb_rows())
+        return osp.lsh_index_topk_sql(
+            ANN_QUERY_IDS,
+            ANN_K,
+            EMB_DIM,
+            PAIR_LSH_TABLES,
+            auto_planes(n),
+            radius=1,
+            exclude_pred="vec_id % 7 = 3",
+        )
+    except Exception:
+        return None
 
 
 def _ann_ivf_oracle() -> str | None:
@@ -1208,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_top_pairs_brute": _q_cos_pairs_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_lsh_tombstoned": _q_ann_lsh_tombstoned,
     }
 
 
@@ -1335,7 +1382,11 @@ GROUP BY 1, 2""",
     }
     # corpus-derived ANN oracles (exact mirrors; omitted — rows-only —
     # only if the gate parquet is unreadable here)
-    for name, sql in (("ann_lsh_topk", _ann_lsh_oracle()), ("ann_ivf_topk", _ann_ivf_oracle())):
+    for name, sql in (
+        ("ann_lsh_topk", _ann_lsh_oracle()),
+        ("ann_ivf_topk", _ann_ivf_oracle()),
+        ("ann_lsh_tombstoned", _ann_lsh_tomb_oracle()),
+    ):
         if sql is not None:
             out[name] = sql
     return out

@@ -195,12 +195,22 @@ class LshIndex:
         self._df = spark.read.option("basePath", base).parquet(base)
 
     def topk(
-        self, queries: list[tuple[int, list[float]]], k: int = 10, radius: int = 1
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        radius: int = 1,
+        deleted=None,
     ) -> DataFrame:
         """Approximate top-k for explicit (query_id, vector) pairs.
 
         Output (query_id, vec_id, rank, cos_micro) — same schema and
         (cos_micro DESC, vec_id ASC) total order as ann_brute_topk.
+        ``deleted`` (tombstoned vec_ids, e.g. the text store's
+        ``reader.deleted``) are masked out of the candidate set BEFORE
+        ranking — the persisted layout is append-only like the
+        reference's (/root/reference/index.go:44-50), so logical deletes
+        must be honored at serve time until the index is rebuilt (the
+        same contract as the lexical scorers, operators/wand.py).
         """
         if k <= 0 or not queries:
             return self.spark.createDataFrame(
@@ -236,9 +246,13 @@ class LshIndex:
                 for t, bs in by_table.items()
             ],
         )
+        corpus = self._df.filter(pred)
+        if deleted:
+            from .similarity import exclude_ids
+
+            corpus = exclude_ids(corpus, "vec_id", deleted)
         cand = (
-            self._df.filter(pred)
-            .join(F.broadcast(probes), ["table_id", "bucket"])
+            corpus.join(F.broadcast(probes), ["table_id", "bucket"])
             .dropDuplicates(["query_id", "vec_id"])
         )
         scored = cand.select(
@@ -258,16 +272,22 @@ class LshIndex:
             .select("query_id", "vec_id", "rank", "cos_micro")
         )
 
-    def topk_for_ids(self, query_ids: list[int], k: int = 10, radius: int = 1) -> DataFrame:
+    def topk_for_ids(
+        self, query_ids: list[int], k: int = 10, radius: int = 1, deleted=None
+    ) -> DataFrame:
         """Convenience: queries are rows of the indexed corpus itself.
 
         Fetches the query vectors from the table_id=0 slice (one pruned
         scan with a vec_id pushdown).  Serving systems that hold the query
-        vector should call :meth:`topk` directly and skip this job."""
+        vector should call :meth:`topk` directly and skip this job.
+        Deleted ids are unservable as queries too (they return no rows)."""
+        live = [q for q in query_ids if not (deleted and int(q) in deleted)]
         rows = (
-            self._df.filter((F.col("table_id") == 0) & F.col("vec_id").isin(query_ids))
+            self._df.filter((F.col("table_id") == 0) & F.col("vec_id").isin(live))
             .select("vec_id", "embedding")
             .collect()
         )
         vecs = {int(r["vec_id"]): list(r["embedding"]) for r in rows}
-        return self.topk([(q, vecs[q]) for q in query_ids if q in vecs], k, radius)
+        return self.topk(
+            [(q, vecs[q]) for q in live if q in vecs], k, radius, deleted=deleted
+        )

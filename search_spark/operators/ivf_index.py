@@ -195,11 +195,17 @@ class IvfIndex:
         self._df = spark.read.option("basePath", base).parquet(base)
 
     def topk(
-        self, queries: list[tuple[int, list[float]]], k: int = 10, nprobe: int = 8
+        self,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        nprobe: int = 8,
+        deleted=None,
     ) -> DataFrame:
         """Approximate top-k: scan the ``nprobe`` nearest centroid cells
         per query (partition pruning), exact-cosine rerank.  Output schema
-        and (cos_micro DESC, vec_id ASC) order match ann_brute_topk."""
+        and (cos_micro DESC, vec_id ASC) order match ann_brute_topk.
+        ``deleted`` vec_ids are masked from the candidates before ranking
+        (same serve-time tombstone contract as LshIndex.topk)."""
         if k <= 0 or not queries:
             return self.spark.createDataFrame(
                 [], "query_id bigint, vec_id bigint, rank int, cos_micro bigint"
@@ -220,9 +226,13 @@ class IvfIndex:
         probes = self.spark.createDataFrame(
             probe_rows, "query_id bigint, centroid int, q_emb array<double>, q_nrm double"
         )
+        corpus = self._df.filter(F.col("centroid").isin(sorted(probed)))
+        if deleted:
+            from .similarity import exclude_ids
+
+            corpus = exclude_ids(corpus, "vec_id", deleted)
         cand = (
-            self._df.filter(F.col("centroid").isin(sorted(probed)))
-            .join(F.broadcast(probes), "centroid")
+            corpus.join(F.broadcast(probes), "centroid")
             .dropDuplicates(["query_id", "vec_id"])
         )
         scored = cand.select(
@@ -242,11 +252,16 @@ class IvfIndex:
             .select("query_id", "vec_id", "rank", "cos_micro")
         )
 
-    def topk_for_ids(self, query_ids: list[int], k: int = 10, nprobe: int = 8) -> DataFrame:
+    def topk_for_ids(
+        self, query_ids: list[int], k: int = 10, nprobe: int = 8, deleted=None
+    ) -> DataFrame:
+        live = [q for q in query_ids if not (deleted and int(q) in deleted)]
         rows = (
-            self._df.filter(F.col("vec_id").isin(query_ids))
+            self._df.filter(F.col("vec_id").isin(live))
             .select("vec_id", "embedding")
             .collect()
         )
         vecs = {int(r["vec_id"]): list(r["embedding"]) for r in rows}
-        return self.topk([(q, vecs[q]) for q in query_ids if q in vecs], k, nprobe)
+        return self.topk(
+            [(q, vecs[q]) for q in live if q in vecs], k, nprobe, deleted=deleted
+        )

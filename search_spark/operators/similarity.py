@@ -59,14 +59,37 @@ def with_norm(emb: DataFrame) -> DataFrame:
     return emb.withColumn("nrm", norm_col(F.col("embedding")))
 
 
-def ann_brute_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame:
+def exclude_ids(df: DataFrame, col: str, deleted) -> DataFrame:
+    """Drop rows whose ``col`` is tombstoned — the ANN/similarity
+    analogue of the lexical scorers' delete mask (wand.py wand_topk /
+    dense_topk).  Broadcast anti-join from a numpy array, never an
+    ``isin`` literal (delete sets are thousands-to-millions of ids);
+    no-op when the set is empty."""
+    if not deleted:
+        return df
+    import numpy as np
+    import pandas as pd
+
+    arr = np.fromiter((int(d) for d in deleted), dtype=np.int64)
+    arr.sort()
+    gone = df.sparkSession.createDataFrame(pd.DataFrame({col: arr}))
+    return df.join(F.broadcast(gone), col, "left_anti")
+
+
+def ann_brute_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10, deleted=None
+) -> DataFrame:
     """Exact cosine top-k for each query vector (queries live in the corpus).
 
     Output (query_id, vec_id, rank, cos_micro); total order per query =
     (cos_micro DESC, vec_id ASC) over micro-rounded scores so ranks are
     engine-independent (same convention as the BM25 top-k).
-    """
-    e = with_norm(emb).select("vec_id", "embedding", "nrm")
+    ``deleted`` (tombstoned vec_ids, e.g. ``reader.deleted``) never enter
+    the ranking — queries in the set also return nothing (a deleted doc
+    is not servable as either side)."""
+    e = exclude_ids(with_norm(emb), "vec_id", deleted).select(
+        "vec_id", "embedding", "nrm"
+    )
     q = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -89,15 +112,18 @@ def ann_brute_topk(emb: DataFrame, query_ids: list[int], k: int = 10) -> DataFra
     )
 
 
-def cosine_top_pairs(emb: DataFrame, n: int = 50) -> DataFrame:
+def cosine_top_pairs(emb: DataFrame, n: int = 50, deleted=None) -> DataFrame:
     """Top-N most-similar distinct pairs (a_id < b_id) by exact cosine.
 
     O(N²) by design — the brute-force *verification* form (the same
     exactness role as the reference's full scan, /root/reference/
     index.go:63-81).  The serving path is :func:`cosine_top_pairs_lsh`
     (banded candidates, no cartesian); this form cross-checks it on
-    samples and small fixtures."""
-    e = with_norm(emb).select("vec_id", "embedding", "nrm")
+    samples and small fixtures.  ``deleted`` vec_ids are excluded from
+    both sides."""
+    e = exclude_ids(with_norm(emb), "vec_id", deleted).select(
+        "vec_id", "embedding", "nrm"
+    )
     a = e.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"), F.col("nrm").alias("a_nrm")
     )
@@ -205,6 +231,7 @@ def cosine_top_pairs_lsh(
     planes: int = LSH_PLANES,
     max_band_size: int = MAX_BAND_SIZE,
     cache_handle: list | None = None,
+    deleted=None,
 ) -> DataFrame:
     """Top-N most-similar pairs AMONG banded LSH candidates — the serving
     form of :func:`cosine_top_pairs` with no cartesian product anywhere in
@@ -216,6 +243,7 @@ def cosine_top_pairs_lsh(
     defined semantics — the DuckDB oracle mirrors the banding exactly, and
     coverage vs the brute form is pinned in tests.
     """
+    emb = exclude_ids(emb, "vec_id", deleted)
     cand = lsh_candidate_pairs(
         emb, dim, tables, planes, max_band_size, cache_handle=cache_handle
     )
@@ -231,6 +259,7 @@ def cosine_near_dup_pairs(
     planes: int = LSH_PLANES,
     max_band_size: int = MAX_BAND_SIZE,
     cache_handle: list | None = None,
+    deleted=None,
 ) -> DataFrame:
     """Embedding-cosine NEAR-DUP pairs (the dedup-family form): every
     banded candidate pair with cosine ≥ threshold, output
@@ -242,6 +271,7 @@ def cosine_near_dup_pairs(
     banding (higher thresholds → higher collision probability → higher
     recall); the DuckDB oracle mirrors the banding, and sign-LSH theory
     gives per-pair collision ≥ 1-(1-(1-acos(τ)/π)^planes)^tables at τ."""
+    emb = exclude_ids(emb, "vec_id", deleted)
     cand = lsh_candidate_pairs(
         emb, dim, tables, planes, max_band_size, cache_handle=cache_handle
     )
@@ -281,6 +311,7 @@ def ann_lsh_topk(
     k: int = 10,
     dim: int = 64,
     tables: int = LSH_TABLES,
+    deleted=None,
 ) -> DataFrame:
     """Approximate top-k: candidates = union over L hash tables of the
     query's bucket mates (multi-table sign-LSH), then exact cosine + rank.
@@ -291,8 +322,9 @@ def ann_lsh_topk(
     what the driver entry and any real deployment should use.
 
     Output schema matches ann_brute_topk; recall vs the brute-force
-    baseline is pinned in tests."""
-    b = lsh_bucketed(emb, dim, tables)
+    baseline is pinned in tests.  ``deleted`` vec_ids never serve (either
+    side), matching the persisted index paths."""
+    b = lsh_bucketed(exclude_ids(emb, "vec_id", deleted), dim, tables)
     q = b.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

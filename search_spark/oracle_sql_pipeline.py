@@ -412,6 +412,7 @@ def lsh_index_topk_sql(
     planes: int,
     radius: int = 1,
     emb_sql: str = EMB_SQL,
+    exclude_pred: str | None = None,
 ) -> str:
     """Mirror of the PERSISTED multi-probe LSH index query
     (operators/ann_index.LshIndex.topk over a build_lsh_index layout):
@@ -421,11 +422,21 @@ def lsh_index_topk_sql(
     cosine rerank, rank = (cos_micro DESC, vec_id ASC).
 
     The build writes every row (no band guard — unlike the pair-mining
-    banding), so ``banded`` is used unguarded here."""
+    banding), so ``banded`` is used unguarded here.
+
+    ``exclude_pred`` (a SQL predicate on ``vec_id``) mirrors serve-time
+    tombstones (LshIndex.topk ``deleted``): excluded ids can neither be
+    queries nor candidates."""
     from .operators.ann_index import _probe_masks
 
     masks = ", ".join(str(m) for m in _probe_masks(planes, radius))
     qs = ", ".join(str(q) for q in query_ids)
+    q_excl = f" AND NOT ({exclude_pred})" if exclude_pred else ""
+    c_excl = (
+        f" WHERE NOT ({exclude_pred.replace('vec_id', 'b.vec_id')})"
+        if exclude_pred
+        else ""
+    )
     cos = f"{_dot('q.embedding', 'e.embedding')} / (q.nrm * e.nrm)"
     return f"""
 WITH {_emb_ctes(emb_sql)},
@@ -433,14 +444,14 @@ WITH {_emb_ctes(emb_sql)},
     {_lsh_banded_sql(dim, tables, planes)}),
   qb AS (
     SELECT vec_id AS query_id, table_id, bucket
-    FROM banded WHERE vec_id IN ({qs})),
+    FROM banded WHERE vec_id IN ({qs}){q_excl}),
   probes AS (
     SELECT DISTINCT query_id, table_id, xor(bucket, CAST(m.mask AS BIGINT)) AS bucket
     FROM qb CROSS JOIN (SELECT unnest([{masks}]) AS mask) m),
   cand AS (
     SELECT DISTINCT p.query_id, b.vec_id
     FROM probes p
-    JOIN banded b ON b.table_id = p.table_id AND b.bucket = p.bucket),
+    JOIN banded b ON b.table_id = p.table_id AND b.bucket = p.bucket{c_excl}),
   scored AS (
     SELECT c.query_id, c.vec_id,
            CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_micro

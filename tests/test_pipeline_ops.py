@@ -628,3 +628,51 @@ def test_rrf_exclude_drops_from_both_lists(spark):
     assert out == {1, 3}  # 2 gone from both lists, 4 from the ANN side
     base = {r["doc_id"] for r in rrf_fuse_two(bm, cs, k=10).collect()}
     assert base == {1, 2, 3, 4}
+
+
+def test_ann_serving_paths_exclude_tombstones(spark, tmp_path):
+    """A deleted vec_id never surfaces from ANY similarity serving path:
+    persisted LSH, persisted IVF, brute, ephemeral LSH, and pair mining
+    (reference contract analogue: results must reflect the live corpus,
+    /root/reference/index.go:63-86).  Deleted ids are also unservable as
+    queries."""
+    from search_spark.operators.ann_index import LshIndex, build_lsh_index
+    from search_spark.operators.ivf_index import IvfIndex, build_ivf_index
+    from search_spark.operators.similarity import (
+        ann_brute_topk,
+        ann_lsh_topk,
+        cosine_top_pairs,
+        cosine_top_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    n = emb.count()
+    deleted = frozenset(v for v in range(int(n)) if v % 7 == 3)
+    qids = [0, 1, 2, 3, 4]  # qid 3 is deleted → must vanish as a query too
+    live_q = [q for q in qids if q not in deleted]
+
+    build_lsh_index(spark, emb, str(tmp_path / "lsh"), tables=8)
+    build_ivf_index(spark, emb, str(tmp_path / "ivf"))
+    lsh = LshIndex(spark, str(tmp_path / "lsh"))
+    ivf = IvfIndex(spark, str(tmp_path / "ivf"))
+
+    frames = {
+        "lsh": lsh.topk_for_ids(qids, 10, radius=1, deleted=deleted),
+        "ivf": ivf.topk_for_ids(qids, 10, nprobe=8, deleted=deleted),
+        "brute": ann_brute_topk(emb, qids, 10, deleted=deleted),
+        "ephemeral": ann_lsh_topk(emb, qids, 10, deleted=deleted),
+    }
+    for name, df in frames.items():
+        rows = df.collect()
+        assert rows, name  # live queries still get results
+        assert not {r["vec_id"] for r in rows} & deleted, name
+        assert {r["query_id"] for r in rows} <= set(live_q), name
+
+    for pairs in (
+        cosine_top_pairs(emb, 25, deleted=deleted),
+        cosine_top_pairs_lsh(emb, 25, deleted=deleted),
+    ):
+        rows = pairs.collect()
+        assert rows
+        ids = {r["a_id"] for r in rows} | {r["b_id"] for r in rows}
+        assert not ids & deleted
