@@ -350,6 +350,26 @@ def _q_fuzzy(spark, sf_dir):
     )
 
 
+#: batched fuzzy set: the gate typo pair, a single-typo head term, and a
+#: typo of a rarer term — three expansion shapes through one shared scan
+FUZZY_BATCH = [("f1", Q_FUZZY), ("f2", "fastt"), ("f3", "mergge windoww")]
+
+
+def _q_fuzzy_batch(spark, sf_dir):
+    """N fuzzy queries in ONE shared dictionary-expansion scan + ONE
+    posting scan (operators/prefix.fuzzy_batch) — the batch form the
+    other fulltext operators already have."""
+    from search_spark.operators.prefix import fuzzy_batch
+
+    res = fuzzy_batch(_wand_reader(spark, sf_dir), FUZZY_BATCH, 1, _TOPK)
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
+    )
+
+
 def _q_snippets(spark, sf_dir):
     """Top-k with best-window highlights (operators/snippet.py)."""
     from search_spark.operators.snippet import search_snippets
@@ -1212,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_role_counts": _q_facet_role,
         "prefix_topk": _q_prefix,
         "fuzzy_topk": _q_fuzzy,
+        "fuzzy_batch": _q_fuzzy_batch,
         "suggest_terms": _q_suggest,
         "more_like_this": _q_more_like_this,
         "snippet_topk": _q_snippets,
@@ -1286,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": osql.prefix_topk_sql(Q_PREFIX, _TOPK),
         "suggest_terms": osql.suggest_terms_sql(Q_PREFIX, 8),
         "fuzzy_topk": osql.fuzzy_topk_sql(Q_FUZZY, 1, _TOPK),
+        "fuzzy_batch": osql.fuzzy_batch_sql(FUZZY_BATCH, 1, _TOPK),
         "snippet_topk": osql.snippet_topk_sql(Q_MIX, _TOPK),
         "boolean_topk": osql.boolean_topk_sql(
             BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, _TOPK

@@ -173,3 +173,45 @@ def fuzzy_search(
         reader.batch_search([("q", " ".join(expanded))], k)
         .select("doc_id", "rank", "score")
     )
+
+
+def fuzzy_batch(
+    reader,
+    queries: list[tuple[str, str]],
+    max_dist: int = 1,
+    k: int = 10,
+    max_expansions: int = MAX_FUZZY_EXPANSIONS,
+) -> DataFrame:
+    """Batched fuzzy search: ``queries`` = [(query_id, text)] →
+    (query_id, rank, doc_id, score) — :func:`fuzzy_search` semantics per
+    query, amortized like the other batch forms (phrase_batch /
+    near_batch / boolean_batch):
+
+    1. ONE dictionary-expansion scan for the UNION of every query's
+       tokens (expand_fuzzy_multi already joins the token set against the
+       vocabulary in a single job — N queries cost one scan, not N);
+    2. ONE pruned posting scan + exchange through the shared batch scorer
+       (wand.IndexReader.batch_search), where expansions that several
+       queries share decode once per bucket for the whole batch.
+
+    Per-query semantics unchanged: a query whose every token has an empty
+    neighborhood contributes 0 rows; per-token neighborhoods keep their
+    own (df DESC, term ASC) caps."""
+    spark = reader.spark
+    if k <= 0 or not queries:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id bigint, score double"
+        )
+    toks_by_q = {qid: sorted(set(tokenize(text))) for qid, text in queries}
+    all_toks = sorted({t for ts in toks_by_q.values() for t in ts})
+    per_tok = expand_fuzzy_multi(reader, all_toks, max_dist, max_expansions)
+    batch = []
+    for qid, ts in toks_by_q.items():
+        expanded = sorted({e for t in ts for e in per_tok.get(t, [])})
+        if expanded:
+            batch.append((qid, " ".join(expanded)))
+    if not batch:
+        return spark.createDataFrame(
+            [], "query_id string, rank int, doc_id bigint, score double"
+        )
+    return reader.batch_search(batch, k)

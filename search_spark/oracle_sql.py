@@ -432,6 +432,25 @@ ORDER BY score_micro DESC, doc_id
 LIMIT {k}"""
 
 
+def fuzzy_batch_sql(
+    pairs: list[tuple[str, str]],
+    max_dist: int = 1,
+    k: int = 10,
+    max_expansions: int = 16,
+    docs_sql: str = DOCS_SQL,
+) -> str:
+    """Batch twin of :func:`fuzzy_topk_sql` (operators/prefix.fuzzy_batch):
+    UNION ALL of per-query fuzzy oracles with a query_id column — the
+    engine amortizes the dictionary/posting scans, the SEMANTICS are
+    per-query identical."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id, rank, score_micro FROM "
+        f"({fuzzy_topk_sql(text, max_dist, k, max_expansions, docs_sql)})"
+        for qid, text in pairs
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def bm25_page_sql(
     query_text: str, offset: int, size: int, docs_sql: str = DOCS_SQL
 ) -> str:
