@@ -1183,76 +1183,29 @@ def _q_bm25_rehydrated(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """GATE ROTATION (TESTDATA.md §rotation): the driver's correctness
     gate runs the FIRST 50 entries of this dict, so order is evidence
-    policy, not style.  Round-4 order: (1) the 19 entries the r3 gate
-    never reached (tpch/media/text/eval/events/conversations/
-    dedup_embedding_cosine/bm25_topk_rehydrated), (2) this round's new +
-    behavior-touched entries (hierarchical merge, boolean batch, packing
-    frame, purge ledger, hybrid exclude), (3) fulltext entries sharing the
-    touched reader internals, then — PAST the 50-cap — entries with ≥2
-    consecutive green driver rounds and no code change this round (DF-
-    native bm25 twins, splits/sampling, simhash, ANN family).  Rotate
-    again next round so every entry re-earns a driver row within two
-    rounds."""
+    policy, not style.  Priority rules (mechanically checked by
+    tests/test_gate_rotation.py against CORRECTNESS_r04.json and the git
+    diff since the last gated commit):
+
+    1. every entry WITHOUT a driver row last round claims a slot (round
+       5: the 22 entries the r4 gate rotated past the cap);
+    2. every NEW entry claims a slot (ann_lsh_tombstoned, fuzzy_batch);
+    3. every entry whose implementing modules CHANGED this round claims a
+       slot (r5 diff: indexer/ingest exchange encoding, wand tombstone
+       broadcast + doc_source ledger, phrase tokenize-once + pre-reduce,
+       boolean/prefix, similarity/ann tombstones) — touched code re-earns
+       its row;
+    4. only untouched entries that were GREEN in the previous round's
+       gate may rotate past the cap — they keep a driver-green row within
+       the last two rounds and stay covered every round by the local gate
+       replica (tests/test_entry_contract.py runs ALL entries).
+
+    Round 5: rules 1-3 fill exactly 50 slots; the 24 rotated-out entries
+    (tpch/media/text/eval/events/conversations/rehydrated/packing/
+    materialize/minhash/ngram-capped) are all r4-green and none of their
+    modules changed this round."""
     return {
-        # -- (1) un-gated in r3: first claim on the 50 slots -------------
-        "tpch_pricing_summary": _q_pricing_summary,
-        "tpch_shipping_priority": _q_shipping_priority,
-        "tpch_revenue_by_nation": _q_revenue_by_nation,
-        "media_metadata": _q_media_meta,
-        "media_resize": _q_media_resize,
-        "media_features": _q_media_features,
-        "media_frame_sample": _q_frame_sample,
-        "text_token_counts": _q_token_counts,
-        "text_lang_id": _q_lang_id,
-        "text_quality": _q_quality,
-        "text_fingerprints": _q_fingerprints,
-        "text_top_terms": _q_top_terms,
-        "eval_pearson": _q_eval_pearson,
-        "eval_spearman": _q_eval_spearman,
-        "eval_mse": _q_eval_mse,
-        "events_windowed": _q_events_windowed,
-        "conversations_summary": _q_conversations_summary,
-        "dedup_embedding_cosine": _q_cos_near_dups,
-        "bm25_topk_rehydrated": _q_bm25_rehydrated,
-        # -- (2) new + touched this round --------------------------------
-        "boolean_batch": _q_boolean_batch,
-        "phrase_batch": _q_phrase_batch,
-        "near_batch": _q_near_batch,
-        "bm25_wand_head": _q_wand_head,
-        "bm25_wand_mix": _q_wand_mix,
-        "bm25_wand_batch": _q_wand_batch,
-        "bm25_wand_queryset": _q_wand_queryset,
-        "bm25_wand_compacted": _q_wand_compacted,
-        "bm25_boosted": _q_boosted,
-        "bm25_page2": _q_page2,
-        "bm25_tombstoned": _q_bm25_tombstoned,
-        "bm25_purged": _q_bm25_purged,
-        "boolean_topk": _q_boolean,
-        "boolean_should_topk": _q_boolean_should,
-        "facet_role_counts": _q_facet_role,
-        "prefix_topk": _q_prefix,
-        "fuzzy_topk": _q_fuzzy,
-        "fuzzy_batch": _q_fuzzy_batch,
-        "suggest_terms": _q_suggest,
-        "more_like_this": _q_more_like_this,
-        "snippet_topk": _q_snippets,
-        "hybrid_rrf_topk": _q_hybrid_rrf,
-        "pack_assignments": _q_pack_assignments,
-        "pack_summary": _q_pack_summary,
-        "materialize_corpus": _q_materialize,
-        "materialize_summary": _q_materialize_summary,
-        # -- (3) shared reader internals / fulltext family ----------------
-        "phrase_topk": _q_phrase,
-        "phrase_topk_long": _q_phrase_long,
-        "phrase_count": _q_phrase_count,
-        "near_topk": _q_near,
-        # capped n-gram swapped IN for round 4 (shingle cache_handle +
-        # auto-cap changed this round; re-earns a driver row) in place of
-        # dedup_exact (2 consecutive greens, md5 path untouched)
-        "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        # -------------------- 50-slot cap falls here --------------------
-        # rotated out (≥2 consecutive green driver rounds, untouched):
+        # -- (1) no driver row in r4: first claim on the 50 slots --------
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "bm25_topk_head": _q_bm25_head,
@@ -1275,7 +1228,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_top_pairs_brute": _q_cos_pairs_brute,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        # -- (2) new this round -------------------------------------------
         "ann_lsh_tombstoned": _q_ann_lsh_tombstoned,
+        "fuzzy_batch": _q_fuzzy_batch,
+        # -- (3) modules changed this round: re-earn the driver row -------
+        "bm25_wand_head": _q_wand_head,
+        "bm25_wand_mix": _q_wand_mix,
+        "bm25_wand_batch": _q_wand_batch,
+        "bm25_wand_queryset": _q_wand_queryset,
+        "bm25_wand_compacted": _q_wand_compacted,
+        "bm25_boosted": _q_boosted,
+        "bm25_page2": _q_page2,
+        "bm25_tombstoned": _q_bm25_tombstoned,
+        "bm25_purged": _q_bm25_purged,
+        "boolean_topk": _q_boolean,
+        "boolean_should_topk": _q_boolean_should,
+        "boolean_batch": _q_boolean_batch,
+        "facet_role_counts": _q_facet_role,
+        "phrase_topk": _q_phrase,
+        "phrase_topk_long": _q_phrase_long,
+        "phrase_count": _q_phrase_count,
+        "near_topk": _q_near,
+        "phrase_batch": _q_phrase_batch,
+        "near_batch": _q_near_batch,
+        "prefix_topk": _q_prefix,
+        "fuzzy_topk": _q_fuzzy,
+        "suggest_terms": _q_suggest,
+        "more_like_this": _q_more_like_this,
+        "snippet_topk": _q_snippets,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
+        "dedup_embedding_cosine": _q_cos_near_dups,
+        # -------------------- 50-slot cap falls here --------------------
+        # rotated out (rule 4: r4-green, modules untouched this round):
+        "tpch_pricing_summary": _q_pricing_summary,
+        "tpch_shipping_priority": _q_shipping_priority,
+        "tpch_revenue_by_nation": _q_revenue_by_nation,
+        "media_metadata": _q_media_meta,
+        "media_resize": _q_media_resize,
+        "media_features": _q_media_features,
+        "media_frame_sample": _q_frame_sample,
+        "text_token_counts": _q_token_counts,
+        "text_lang_id": _q_lang_id,
+        "text_quality": _q_quality,
+        "text_fingerprints": _q_fingerprints,
+        "text_top_terms": _q_top_terms,
+        "eval_pearson": _q_eval_pearson,
+        "eval_spearman": _q_eval_spearman,
+        "eval_mse": _q_eval_mse,
+        "events_windowed": _q_events_windowed,
+        "conversations_summary": _q_conversations_summary,
+        "bm25_topk_rehydrated": _q_bm25_rehydrated,
+        "pack_assignments": _q_pack_assignments,
+        "pack_summary": _q_pack_summary,
+        "materialize_corpus": _q_materialize,
+        "materialize_summary": _q_materialize_summary,
+        "dedup_ngram_jaccard_capped": _q_dedup_ngram_capped,
+        "dedup_minhash_lsh": _q_dedup_minhash,
     }
 
 

@@ -81,6 +81,11 @@ def make_spark(cpus: str, app: str = "search-spark-bench"):
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # zstd shuffle/broadcast codec: −46% build shuffle-write bytes vs
+        # lz4 at equal-or-better wall time (interleaved probes, BENCH.md
+        # r5) — at cluster scale those bytes are network, so this is the
+        # production default, not a bench trick
+        .config("spark.io.compression.codec", "zstd")
         .getOrCreate()
     )
 

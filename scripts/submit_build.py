@@ -44,7 +44,9 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    b = SparkSession.builder.appName("search-spark-build")
+    b = SparkSession.builder.appName("search-spark-build").config(
+        "spark.io.compression.codec", "zstd"
+    )  # −46% shuffle bytes vs lz4, equal wall time (BENCH.md r5)
     if args.master:
         b = b.master(args.master)
     spark = b.getOrCreate()

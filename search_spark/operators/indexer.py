@@ -139,6 +139,8 @@ def _python_width(spark: SparkSession) -> int:
     return par
 
 
+#: REFERENCE tf-row schema (pandas/JVM semantic twins below + property
+#: tests).  The PRODUCTION exchange uses TF_TID_SCHEMA — see _tf_arrow_fn.
 TF_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -146,6 +148,26 @@ TF_SCHEMA = T.StructType(
         T.StructField("tf", T.IntegerType(), False),
         T.StructField("dl", T.IntegerType(), False),
         T.StructField("doc_bucket", T.IntegerType(), False),
+    ]
+)
+
+#: PRODUCTION tf exchange schema — dictionary-encoded: the shuffle ships a
+#: fixed 24 bytes of payload per posting (term-id hash, doc_id, packed
+#: tf|dl) plus the term STRING exactly once per (term, doc_bucket, map
+#: batch) in the mostly-NULL ``term`` column; doc_bucket is derived from
+#: doc_id on the reduce side, never shipped.  Measured at 140k turns
+#: (BENCH.md r5): tf-exchange shuffle-write 42.2 → 36.9 MB (−12.6%) vs
+#: the string-per-posting schema, with the exchange sort now on longs;
+#: combined with the zstd shuffle codec (scripts/bench session default)
+#: total build shuffle-write drops 698 → 360 bytes/turn (−48%) — the
+#: build phase is memory-bus/network-bound at scale, so exchange bytes
+#: are the lever.
+TF_TID_SCHEMA = T.StructType(
+    [
+        T.StructField("tid", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tfdl", T.LongType(), False),
+        T.StructField("term", T.StringType(), True),
     ]
 )
 
@@ -188,18 +210,39 @@ def _tf_batches(batches):
         )
 
 
-def _tf_arrow(batches):
-    """mapInArrow tf computation — the build's hot stage (Arrow-native).
+def _tf_arrow_fn(doc_base: int, bucket_base: int, doc_bucket_size: int):
+    """mapInArrow tf stage factory — the build's hot stage (Arrow-native),
+    emitting the dictionary-encoded TF_TID_SCHEMA rows.
 
-    Same output as :func:`_tf_batches` (property-tested equal) but the
-    entire tokenize→count pipeline stays in Arrow C++ buffers:
-    ``tokenize_arrow`` (lower → regex split → flatten → filter) followed by
-    ``dictionary_encode`` for integer term codes, then the composite-key
-    ``np.unique`` trick to collapse (doc, term) pairs.  No pandas object
-    arrays, no Python string objects — the pandas path's PyObject churn
-    made the stage memory-bandwidth-bound (measured: 32 concurrent workers
-    burned 2.3× the CPU-seconds of 8-wide on a single host).  Overflow
-    note as in _tf_batches: doc_idx·|vocab| stays far below 2^63.
+    Semantics equal :func:`_tf_batches` (property-tested via the
+    reconstruction in tests/test_property_fuzz.py) but the tokenize→count
+    pipeline stays in Arrow C++ buffers — ``tokenize_arrow`` (lower →
+    regex split → flatten → filter), ``dictionary_encode`` for integer
+    term codes, then the composite-key ``np.unique`` trick to collapse
+    (doc, term) pairs (overflow note: doc_idx·|vocab| stays far below
+    2^63 at any Arrow batch size).
+
+    Exchange-payload design (the build is memory-bus-bound; bytes through
+    the shuffle are the measured lever):
+
+    - ``tid``: a 64-bit hash of the term (vectorized ``pd.util
+      .hash_array`` over the batch vocabulary — deterministic across
+      executor processes, INTERNAL to one job: it is the shuffle/run key
+      only, never persisted; the on-disk format keeps the term string and
+      the layout keeps xxhash64 term_bucket).
+    - ``tfdl``: tf and dl packed into one long (both < 2^31).
+    - ``term``: NULL except on the FIRST row of each (term, doc_bucket)
+      pair of the batch — every reducer-side (tid, bucket) run therefore
+      receives the string at least once (each contributing map batch
+      names it), and the encoder labels runs from these rows.  A tid
+      collision inside one (tid, bucket) run is DETECTED there (two
+      distinct labels) and raises — ~n²/2⁶⁴ probability per bucket
+      group; correctness is never silently at risk.
+    - ``doc_bucket`` is NOT shipped: it is the affine function
+      ``(doc_id - doc_base) // doc_bucket_size + bucket_base`` (batch
+      path: 0/0; stream path: the reserved-range offsets), derived on the
+      reduce side and monotone in doc_id, so sorting by (tid, doc_id)
+      keeps bucket runs contiguous for free.
     """
     import numpy as np
     import pyarrow as pa
@@ -207,34 +250,55 @@ def _tf_arrow(batches):
 
     from ..analyzer import tokenize_arrow
 
-    for rb in batches:
-        n_rows = rb.num_rows
-        if not n_rows:
-            continue
-        flat, par = tokenize_arrow(rb.column(rb.schema.get_field_index("text")))
-        if not len(flat):
-            continue
-        enc = pc.dictionary_encode(flat)
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        vocab = enc.dictionary
-        doc_idx = np.asarray(par, dtype=np.int64)
-        dl = np.bincount(doc_idx, minlength=n_rows).astype(np.int32)
-        key = doc_idx * len(vocab) + codes
-        uk, tf = np.unique(key, return_counts=True)
-        u_doc = uk // len(vocab)
-        u_code = uk % len(vocab)
-        doc_ids = np.asarray(rb.column(rb.schema.get_field_index("doc_id")), dtype=np.int64)
-        buckets = np.asarray(rb.column(rb.schema.get_field_index("doc_bucket")), dtype=np.int32)
-        yield pa.RecordBatch.from_arrays(
-            [
-                vocab.take(pa.array(u_code)),
-                pa.array(doc_ids[u_doc], type=pa.int64()),
-                pa.array(tf.astype(np.int32), type=pa.int32()),
-                pa.array(dl[u_doc], type=pa.int32()),
-                pa.array(buckets[u_doc], type=pa.int32()),
-            ],
-            names=["term", "doc_id", "tf", "dl", "doc_bucket"],
-        )
+    def gen(batches):
+        for rb in batches:
+            n_rows = rb.num_rows
+            if not n_rows:
+                continue
+            flat, par = tokenize_arrow(rb.column(rb.schema.get_field_index("text")))
+            if not len(flat):
+                continue
+            enc = pc.dictionary_encode(flat)
+            codes = np.asarray(enc.indices, dtype=np.int64)
+            vocab = enc.dictionary
+            doc_idx = np.asarray(par, dtype=np.int64)
+            dl = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+            # TERM-major composite (code · n_rows + doc): np.unique then
+            # yields rows grouped by term, so shuffle compression sees
+            # runs of equal tids (a hash is incompressible scattered,
+            # cheap grouped) — same cost as the doc-major composite it
+            # replaces.  Overflow-safe: code < flat tokens, doc_idx <
+            # batch rows, product far below 2^63.
+            key = codes * np.int64(n_rows) + doc_idx
+            uk, tf = np.unique(key, return_counts=True)
+            u_code = uk // n_rows
+            u_doc = uk % n_rows
+            doc_ids = np.asarray(
+                rb.column(rb.schema.get_field_index("doc_id")), dtype=np.int64
+            )
+            d = doc_ids[u_doc]
+            vocab_np = np.asarray(vocab, dtype=object)
+            vh = pd.util.hash_array(vocab_np, categorize=False).view(np.int64)
+            tfdl = (tf.astype(np.int64) << np.int64(32)) | dl[u_doc]
+            bucket = (d - doc_base) // doc_bucket_size + bucket_base
+            # name the first row of each (term, bucket) pair in this batch
+            bmin = int(bucket.min())
+            span = int(bucket.max()) - bmin + 1
+            pk = u_code * span + (bucket - bmin)
+            _, first_idx = np.unique(pk, return_index=True)
+            term_col = np.full(uk.shape[0], None, dtype=object)
+            term_col[first_idx] = vocab_np[u_code[first_idx]]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(vh[u_code], type=pa.int64()),
+                    pa.array(d, type=pa.int64()),
+                    pa.array(tfdl, type=pa.int64()),
+                    pa.array(term_col, type=pa.string()),
+                ],
+                names=["tid", "doc_id", "tfdl", "term"],
+            )
+
+    return gen
 
 
 def tf_triples(docs: DataFrame) -> DataFrame:
@@ -278,33 +342,58 @@ def tf_triples(docs: DataFrame) -> DataFrame:
     )
 
 
-def _encode_partition(avgdl: float):
+def _encode_partition(avgdl: float, doc_base: int, bucket_base: int, doc_bucket_size: int):
     """mapInPandas encoder over a hash-partitioned, sorted tf stream.
 
-    Input partitions are hash-partitioned by (term, doc_bucket) and sorted
-    by (term, doc_bucket, doc_id), so each run is contiguous — but an Arrow
-    batch may SPLIT a run, so the trailing run of every batch is carried
-    into the next.  Run boundaries are found vectorized (numpy change
-    detection), not via per-group pandas machinery: encoding cost is
-    O(postings) numpy work + one small make_blocks call per run.
+    Input partitions are hash-partitioned by (tid, derived doc_bucket) and
+    sorted by (tid, doc_id) — the bucket is the affine doc_id function
+    shared with :func:`_tf_arrow_fn`, so sorting by doc_id keeps bucket
+    runs contiguous — but an Arrow batch may SPLIT a run, so the trailing
+    run of every batch is carried into the next.  Run boundaries are found
+    vectorized (numpy change detection); each run's TERM STRING comes from
+    its named rows (≥1 per contributing map batch), with a hard error on
+    the astronomically-unlikely tid collision inside one run.  Encoding
+    cost is O(postings) numpy work (codec.encode_runs, byte-identical to
+    per-run make_blocks — property-tested in tests/test_codec.py).
     """
     import numpy as np
 
     def encode(batches):
         carry: pd.DataFrame | None = None
 
+        def bucket_of(d: np.ndarray) -> np.ndarray:
+            return (d - doc_base) // doc_bucket_size + bucket_base
+
         def emit(pdf: pd.DataFrame) -> pd.DataFrame:
-            # whole-batch vectorized encode (codec.encode_runs): one pass,
-            # no per-run Python — byte-identical to the per-run make_blocks
-            # assembly it replaced (property-tested in tests/test_codec.py)
-            cols = codec.encode_runs(
-                pdf["term"].to_numpy(),
-                pdf["doc_bucket"].to_numpy(),
-                pdf["doc_id"].to_numpy(),
-                pdf["tf"].to_numpy(),
-                pdf["dl"].to_numpy(),
-                avgdl,
-            )
+            tid = pdf["tid"].to_numpy()
+            d = pdf["doc_id"].to_numpy()
+            bucket = bucket_of(d)
+            tfdl = pdf["tfdl"].to_numpy()
+            tf = tfdl >> np.int64(32)
+            dl = tfdl & np.int64(0xFFFFFFFF)
+            change = (tid[1:] != tid[:-1]) | (bucket[1:] != bucket[:-1])
+            run_id = np.concatenate(([0], np.cumsum(change)))
+            n_runs = int(run_id[-1]) + 1
+            nn = pdf["term"].notna().to_numpy()
+            rids = run_id[nn]
+            terms_nn = pdf["term"].to_numpy()[nn]
+            uniq_rid, first_pos = np.unique(rids, return_index=True)
+            if uniq_rid.shape[0] != n_runs:
+                raise RuntimeError(
+                    "index encode: posting run without a named term row — "
+                    "tf stage naming invariant broken"
+                )
+            run_label = np.empty(n_runs, dtype=object)
+            run_label[uniq_rid] = terms_nn[first_pos]
+            if not (terms_nn == run_label[rids]).all():
+                raise RuntimeError(
+                    "index encode: term-id collision inside one "
+                    "(tid, doc_bucket) run — two distinct terms hashed to "
+                    "the same 64-bit id in the same doc bucket (~n²/2⁶⁴ "
+                    "odds); rebuild to redraw batch boundaries"
+                )
+            cols = codec.encode_runs(run_id, bucket, d, tf, dl, avgdl)
+            cols["term"] = run_label[cols["term"].astype(np.int64)]
             cols["doc_bucket"] = cols["doc_bucket"].astype("int32")
             return pd.DataFrame(cols)[[f.name for f in POSTING_SCHEMA.fields]]
 
@@ -313,11 +402,9 @@ def _encode_partition(avgdl: float):
                 pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
                 continue
-            lt = pdf["term"].iloc[-1]
-            lb = pdf["doc_bucket"].iloc[-1]
-            tail_first = int(
-                np.argmax((pdf["term"].to_numpy() == lt) & (pdf["doc_bucket"].to_numpy() == lb))
-            )
+            tid_np = pdf["tid"].to_numpy()
+            b_np = bucket_of(pdf["doc_id"].to_numpy())
+            tail_first = int(np.argmax((tid_np == tid_np[-1]) & (b_np == b_np[-1])))
             carry = pdf.iloc[tail_first:]
             head = pdf.iloc[:tail_first]
             if len(head):
@@ -345,7 +432,7 @@ def build_unit(
         info = {"seconds": 0.0}
         store.mark_unit_done(unit, info)
         return info
-    docs = spark.read.parquet(store.docs_path(unit)).select("doc_id", "doc_bucket", "text")
+    docs = spark.read.parquet(store.docs_path(unit)).select("doc_id", "text")
     # The tf stage is Python-per-byte work, but maxPartitionBytes packs a
     # small unit's files into one or two scan tasks — at test scale that
     # serialized the most expensive stage onto <= n_units cores (measured:
@@ -354,15 +441,21 @@ def build_unit(
     # unit has plenty of files and this is a no-op.
     if tf_partitions and docs.rdd.getNumPartitions() < tf_partitions:
         docs = docs.repartition(tf_partitions)
-    tf_local = docs.mapInArrow(_tf_arrow, schema=TF_SCHEMA)
+    dbs = store.doc_bucket_size
+    tf_local = docs.mapInArrow(_tf_arrow_fn(0, 0, dbs), schema=TF_TID_SCHEMA)
     # explicit partition count: AQE would coalesce this small-at-test-scale
     # exchange to one task and serialize the encode; at 10^12 scale the same
-    # expression sizes the shuffle to the cluster
+    # expression sizes the shuffle to the cluster.  Partition key = (tid,
+    # derived doc_bucket) — the doc-range SALT (see module docstring) as an
+    # expression, so the bucket never rides the exchange payload; sort key
+    # (tid, doc_id) suffices because the bucket is monotone in doc_id.
     n_enc = max(2, _python_width(spark) // 2)
     encoded = (
-        tf_local.repartition(n_enc, "term", "doc_bucket")
-        .sortWithinPartitions("term", "doc_bucket", "doc_id")
-        .mapInPandas(_encode_partition(avgdl), schema=POSTING_SCHEMA)
+        tf_local.repartition(
+            n_enc, F.col("tid"), F.expr(f"CAST(doc_id DIV {dbs} AS INT)")
+        )
+        .sortWithinPartitions("tid", "doc_id")
+        .mapInPandas(_encode_partition(avgdl, 0, 0, dbs), schema=POSTING_SCHEMA)
     )
     encoded = encoded.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")

@@ -39,7 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.docids import assign_doc_ids
-from ..operators.indexer import POSTING_SCHEMA, TF_SCHEMA, _encode_partition, _tf_arrow
+from ..operators.indexer import (
+    POSTING_SCHEMA,
+    TF_TID_SCHEMA,
+    _encode_partition,
+    _tf_arrow_fn,
+)
 from ..sources.index_store import IndexStore
 
 #: stream doc_ids start here — far above any batch corpus
@@ -106,14 +111,26 @@ def _ingest_one_batch_locked(
         store.mark_stream_batch(batch_id, 0)
         return
 
-    tf_local = staged.select("doc_id", "doc_bucket", "text").mapInArrow(
-        _tf_arrow, schema=TF_SCHEMA
+    # dictionary-encoded exchange (indexer._tf_arrow_fn): stream docs use
+    # the reserved-range affine bucket (doc_id - STREAM_DOC_BASE) // dbs
+    # + STREAM_BUCKET_BASE, derived on the reduce side — same contract as
+    # the batch build, different offsets
+    dbs = store.doc_bucket_size
+    tf_local = staged.select("doc_id", "text").mapInArrow(
+        _tf_arrow_fn(STREAM_DOC_BASE, STREAM_BUCKET_BASE, dbs),
+        schema=TF_TID_SCHEMA,
     )
     n_enc = max(2, spark.sparkContext.defaultParallelism // 2)
+    bucket_expr = F.expr(
+        f"CAST((doc_id - {STREAM_DOC_BASE}) DIV {dbs} + {STREAM_BUCKET_BASE} AS INT)"
+    )
     encoded = (
-        tf_local.repartition(n_enc, "term", "doc_bucket")
-        .sortWithinPartitions("term", "doc_bucket", "doc_id")
-        .mapInPandas(_encode_partition(avgdl_hint), schema=POSTING_SCHEMA)
+        tf_local.repartition(n_enc, F.col("tid"), bucket_expr)
+        .sortWithinPartitions("tid", "doc_id")
+        .mapInPandas(
+            _encode_partition(avgdl_hint, STREAM_DOC_BASE, STREAM_BUCKET_BASE, dbs),
+            schema=POSTING_SCHEMA,
+        )
     )
     encoded = encoded.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(store.term_buckets)).cast("int")

@@ -212,17 +212,23 @@ def test_wand_vs_dense_on_multiblock_layouts(term_specs, k):
 @given(st.lists(text_st, min_size=1, max_size=30))
 @settings(max_examples=100, deadline=None)
 def test_tf_arrow_matches_tf_batches(texts):
-    """The Arrow-native tf stage (mapInArrow hot path) must produce exactly
-    the same (doc_id, term) -> (tf, dl, doc_bucket) map as the pandas twin
-    it replaced, for ANY text."""
+    """The dictionary-encoded Arrow tf stage (mapInArrow hot path) must
+    carry exactly the same (doc_id, term) -> (tf, dl, doc_bucket)
+    information as the pandas reference twin, for ANY text: tids resolve
+    to terms through the batch's own named rows, tf/dl unpack from the
+    packed long, the bucket derives from doc_id, and every (term, bucket)
+    pair of the batch must have a named (non-null term) row."""
     import pyarrow as pa
 
-    from search_spark.operators.indexer import _tf_arrow, _tf_batches
+    from search_spark.operators.indexer import _tf_arrow_fn, _tf_batches
 
+    dbs = 16
     pdf = pd.DataFrame(
         {
             "doc_id": np.arange(len(texts), dtype=np.int64) * 7 + 3,
-            "doc_bucket": (np.arange(len(texts)) % 4).astype("int32"),
+            "doc_bucket": ((np.arange(len(texts), dtype=np.int64) * 7 + 3) // dbs).astype(
+                "int32"
+            ),
             "text": texts,
         }
     )
@@ -231,10 +237,22 @@ def test_tf_arrow_matches_tf_batches(texts):
         for r in out.itertuples(index=False):
             ref[(r.doc_id, r.term)] = (r.tf, r.dl, r.doc_bucket)
     got = {}
-    for rb in _tf_arrow(iter([pa.RecordBatch.from_pandas(pdf)])):
+    named = set()
+    for rb in _tf_arrow_fn(0, 0, dbs)(
+        iter([pa.RecordBatch.from_pandas(pdf[["doc_id", "text"]])])
+    ):
         t = rb.to_pydict()
-        for term, doc_id, tf, dl, db in zip(
-            t["term"], t["doc_id"], t["tf"], t["dl"], t["doc_bucket"]
+        tid2term = {
+            tid: term for tid, term in zip(t["tid"], t["term"]) if term is not None
+        }
+        for tid, doc_id, tfdl, term in zip(
+            t["tid"], t["doc_id"], t["tfdl"], t["term"]
         ):
-            got[(doc_id, term)] = (tf, dl, db)
+            resolved = tid2term[tid]  # KeyError = unnamed tid → invariant broken
+            if term is not None:
+                assert term == resolved  # no in-batch tid collision
+                named.add((resolved, doc_id // dbs))
+            got[(doc_id, resolved)] = (tfdl >> 32, tfdl & 0xFFFFFFFF, doc_id // dbs)
     assert got == ref
+    # naming invariant: every (term, bucket) pair has a named row
+    assert named == {(term, db) for (_, term), (_, _, db) in got.items()}
