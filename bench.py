@@ -33,6 +33,9 @@ import sys
 import tempfile
 import time
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -253,6 +256,20 @@ def run_default(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         fuzzy_search(reader, "tble hashh", 1, TOPK).count()
         ft["fuzzy"] = round(time.perf_counter() - t0, 4)
+        # batched form (round 5): 4 fuzzy queries through ONE expansion +
+        # posting scan — amortized cost is the serving number
+        from search_spark.operators.prefix import fuzzy_batch
+
+        t0 = time.perf_counter()
+        fuzzy_batch(
+            reader,
+            [("f1", "tble hashh"), ("f2", "fastt"), ("f3", "mergge windoww"), ("f4", "scann")],
+            1,
+            TOPK,
+        ).count()
+        fb = time.perf_counter() - t0
+        ft["fuzzy_batch4"] = round(fb, 4)
+        ft["fuzzy_batch_per_query"] = round(fb / 4, 4)
         t0 = time.perf_counter()
         search_snippets(reader, "table hash scan", TOPK).count()
         ft["snippet"] = round(time.perf_counter() - t0, 4)
@@ -396,11 +413,224 @@ def run_pipeline_ops(spark, sf_dir: str) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# 1.4M-turn store phases (VERDICT r4 #4/#5): head-only fulltext and ANN at
+# 280× the reference's design ceiling (<100k entries, README.md:30),
+# tracked as JSON fields so round-over-round deltas are measured, not
+# narrated.  The stores persist under /tmp and rebuild automatically when
+# missing (build time is then recorded in the phase).
+# ---------------------------------------------------------------------------
+
+BIG_ENABLED = os.environ.get("SPARK_GRAFT_BIG", "1") == "1"
+BIG_STORE = os.environ.get("SPARK_GRAFT_BIG_STORE", "/tmp/idx14")
+BIG_ANN = os.environ.get("SPARK_GRAFT_BIG_ANN", "/tmp/ann14")
+BIG_CONVS = int(os.environ.get("SPARK_GRAFT_BIG_CONVS", "200000"))
+BIG_EMB_N = int(os.environ.get("SPARK_GRAFT_BIG_EMB_N", "1400000"))
+BIG_EMB_DIM = 64
+
+
+def _big_reader(spark):
+    """Open (building + compacting if absent) the 1.4M-turn store."""
+    from search_spark.corpus import generate_spark
+    from search_spark.operators.compact import compact_index
+    from search_spark.operators.indexer import build_index
+    from search_spark.operators.wand import IndexReader
+    from search_spark.sources.index_store import IndexStore
+
+    build_s = None
+    if not os.path.exists(os.path.join(BIG_STORE, "_manifest.json")):
+        _mark(f"building 1.4M store at {BIG_STORE}")
+        t0 = time.perf_counter()
+        store = IndexStore(BIG_STORE, doc_bucket_size=4096, term_buckets=16)
+        build_index(spark, generate_spark(spark, BIG_CONVS), store, n_units=4)
+        compact_index(spark, store)
+        build_s = time.perf_counter() - t0
+    return IndexReader(spark, IndexStore(BIG_STORE)), build_s
+
+
+def run_big_fulltext(spark) -> dict:
+    """Head-only phrase/proximity at 1.4M turns — the shape where the
+    dense-skip + Arrow positional kernels carry the plan ('the' df 1.33M,
+    'a' df 1.17M).  Cold = first run on a fresh reader (includes posting
+    metadata + dictionary lookups); warm = repeat on the live session."""
+    from search_spark.operators.phrase import near_search, phrase_search
+
+    reader, build_s = _big_reader(spark)
+    out: dict = {"n_docs": int(reader.stats["n_docs"])}
+    if build_s is not None:
+        out["store_build_secs"] = round(build_s, 1)
+    t0 = time.perf_counter()
+    phrase_search(reader, "the a", TOPK).count()
+    out["phrase_the_a_cold"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    phrase_search(reader, "the a", TOPK).count()
+    out["phrase_the_a_warm"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    near_search(reader, "the is", 2, TOPK).count()
+    out["near_the_is_slop2"] = round(time.perf_counter() - t0, 3)
+    # sparse contrast: candidate-driven plan at the same corpus size
+    t0 = time.perf_counter()
+    phrase_search(reader, "table hash", TOPK).count()
+    out["phrase_sparse"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _gen_big_emb(spark, n: int, dim: int):
+    """Deterministic clustered embeddings (4096 hash centers + strong
+    per-vector noise) — cluster structure without bucket collapse: a
+    tight cluster puts every member in ONE sign-LSH bucket per table,
+    which inflates bucket sizes ~10× past the layout's target and makes
+    recall trivially 1.0.  Pure function of vec_id, no RNG state."""
+    M = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def h(x, salt):
+        x = (x * np.uint64(0x9E3779B97F4A7C15) + np.uint64(salt)) & M
+        x ^= x >> np.uint64(31)
+        x = (x * np.uint64(0xBF58476D1CE4E5B9)) & M
+        x ^= x >> np.uint64(29)
+        return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
+
+    def gen(batches):
+        for pdf in batches:
+            vid = pdf["id"].to_numpy().astype(np.uint64)
+            c = vid % np.uint64(4096)
+            E = np.empty((len(vid), dim), dtype=np.float64)
+            for j in range(dim):
+                E[:, j] = 0.55 * h(c, j) + 0.45 * h(vid, j + 4096)
+            yield pd.DataFrame(
+                {"vec_id": vid.astype(np.int64), "embedding": list(E.astype(np.float32))}
+            )
+
+    return spark.range(0, n, 1, 64).mapInPandas(gen, "vec_id bigint, embedding array<float>")
+
+
+def run_big_ann(spark) -> dict:
+    """Persisted multi-probe LSH ANN at 1.4M vectors: build once (13
+    auto-scaled planes → ~170-vector buckets), k=10 query batch through
+    the partition-pruned layout, recall@10 vs a numpy brute scan of the
+    same parquet."""
+    from search_spark.operators.ann_index import LshIndex, build_lsh_index
+
+    out: dict = {"n": BIG_EMB_N}
+    emb_path = os.path.join(BIG_ANN, "emb.parquet")
+    if not os.path.exists(os.path.join(BIG_ANN, "_lsh_meta.json")):
+        _mark(f"building 1.4M LSH index at {BIG_ANN}")
+        t0 = time.perf_counter()
+        _gen_big_emb(spark, BIG_EMB_N, BIG_EMB_DIM).write.mode("overwrite").parquet(emb_path)
+        emb = spark.read.parquet(emb_path)
+        meta = build_lsh_index(spark, emb, BIG_ANN, tables=8)
+        out["index_build_secs"] = round(time.perf_counter() - t0, 1)
+        out["planes"] = meta["planes"]
+    t0 = time.perf_counter()
+    idx = LshIndex(spark, BIG_ANN)
+    out["open_secs"] = round(time.perf_counter() - t0, 3)
+    out.setdefault("planes", idx.meta["planes"])
+    qids = [0, 7, 123_456, 314_159, 555_555, 777_777, 901_234, 1_111_111, 1_250_000, 1_399_999]
+
+    # serving model: the caller holds the query vectors (topk_for_ids'
+    # fetch is a convenience full-slice scan, documented as such) — fetch
+    # once outside the query timer, then time the pruned topk() batches
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    qrows = (
+        idx._df.filter((F.col("table_id") == 0) & F.col("vec_id").isin(qids))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    out["qvec_fetch_secs"] = round(time.perf_counter() - t0, 3)
+    qs = [(int(r["vec_id"]), list(r["embedding"])) for r in qrows]
+
+    t0 = time.perf_counter()
+    got = idx.topk(qs, TOPK, radius=1).collect()
+    out["query10_cold_secs"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    got = idx.topk(qs, TOPK, radius=1).collect()
+    batch_s = time.perf_counter() - t0
+    out["query10_warm_secs"] = round(batch_s, 3)
+    out["per_query_warm_ms"] = round(batch_s / len(qids) * 1e3, 1)
+
+    # budgeted query-directed probing (the heavy-tail guard at scale):
+    # cap candidates/query via the occupancy sidecar + margin ordering.
+    # Recall for BOTH points is computed below against the same brute
+    # truth — the measured cost/recall tradeoff, not a narrated one.
+    BUDGET = 32000
+    t0 = time.perf_counter()
+    got_b = idx.topk(qs, TOPK, radius=1, budget=BUDGET).collect()
+    b_s = time.perf_counter() - t0
+    out["budget"] = BUDGET
+    out["query10_budget_secs"] = round(b_s, 3)
+    out["per_query_budget_ms"] = round(b_s / len(qids) * 1e3, 1)
+
+    # exact brute top-10 of the same parquet (numpy mapInPandas — the
+    # JVM-fold brute operator is the 500-row verification form, not a
+    # 14M-dot-product tool)
+    emb_df = spark.read.parquet(emb_path)
+    q_rows = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb_df.where(emb_df.vec_id.isin(qids)).collect()
+    }
+    Q = np.stack([q_rows[q] for q in qids])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def brute(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            S = En @ Qn.T  # (batch, q)
+            k = min(20, S.shape[0])
+            frames = []
+            for qi in range(S.shape[1]):
+                top = np.argpartition(-S[:, qi], k - 1)[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "qi": qi,
+                            "vec_id": pdf["vec_id"].to_numpy()[top],
+                            "cos": S[top, qi],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    t0 = time.perf_counter()
+    part = spark.read.parquet(emb_path).mapInPandas(brute, "qi int, vec_id bigint, cos double").toPandas()
+    out["brute_scan_secs"] = round(time.perf_counter() - t0, 3)
+    truth: dict[int, set] = {}
+    for qi, qid in enumerate(qids):
+        g = part[part["qi"] == qi].sort_values(["cos", "vec_id"], ascending=[False, True])
+        truth[qid] = set(g["vec_id"].head(TOPK).tolist())
+
+    def _recall(rows) -> float:
+        by: dict[int, list] = {}
+        for r in rows:
+            by.setdefault(int(r["query_id"]), []).append(int(r["vec_id"]))
+        hits = sum(len(truth[q] & set(by.get(q, []))) for q in qids)
+        return round(hits / (len(qids) * TOPK), 3)
+
+    out["recall_at_10"] = _recall(got)
+    out["recall_at_10_budget"] = _recall(got_b)
+    return out
+
+
 def main_default() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = make_spark(CPUS)
+    big_ft: dict = {}
+    big_ann: dict = {}
     try:
         times = run_default(spark, SF_DIR)
+        if BIG_ENABLED:
+            # tracked 1.4M phases — isolated so a /tmp hiccup degrades the
+            # artifact to an error note instead of losing the whole run
+            try:
+                big_ft = run_big_fulltext(spark)
+            except Exception as e:  # pragma: no cover
+                big_ft = {"error": f"{type(e).__name__}: {e}"[:300]}
+            try:
+                big_ann = run_big_ann(spark)
+            except Exception as e:  # pragma: no cover
+                big_ann = {"error": f"{type(e).__name__}: {e}"[:300]}
     finally:
         spark.stop()
     qtimes = {k: v for k, v in times.items() if not k.startswith("_")}
@@ -420,6 +650,8 @@ def main_default() -> None:
         "pipeline_secs": times["_pipeline"],
         "compacted": times["_compacted"],
         "fulltext_secs": times.get("_fulltext", {}),
+        "fulltext_1p4m": big_ft,
+        "ann_1p4m": big_ann,
         "steal": times.get("_steal", {}),
         "cpus": int(CPUS),
     }

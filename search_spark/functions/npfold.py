@@ -31,6 +31,19 @@ def fold_dot(E: np.ndarray, W: np.ndarray) -> np.ndarray:
     return acc
 
 
+def fold_dot_pairs(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n, d) × (n, d) → (n,): ROW-PAIRED dot products accumulated
+    dim-by-dim (the candidate-rerank shape: one query vector per
+    candidate row).  Same fold order as :func:`fold_dot` and the JVM
+    ``dot_col`` — bit-identical by construction, pinned in tests."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc += A[:, i] * B[:, i]
+    return acc
+
+
 def fold_norm(E: np.ndarray) -> np.ndarray:
     """(n, d) → (n,): sqrt of the sequentially-folded sum of squares."""
     E = np.asarray(E, dtype=np.float64)

@@ -11,7 +11,9 @@ module is the scale path that replaces the O(N·d) scan:
   vector onto ``tables × planes`` deterministic ±1 hyperplanes (derived
   from the pinned hash spec, functions/hashing.py) and packs the signs
   into a bucket id per table.  Output is written **partitioned by
-  (table_id, bucket)** with a versioned JSON meta sidecar — the same
+  (table_id, bucket_prefix)** — dir count bounded by LSH_PREFIX_BITS at
+  any corpus size — with the full bucket id sorted inside each file for
+  row-group pruning, plus a versioned JSON meta sidecar: the same
   "pruned layout + version gate" story as the posting store
   (/root/reference/index_codec.go:56-58).
 - **Plane-count auto-scaling**: ``planes = max(4, ceil(log2(n / 256)))``,
@@ -24,9 +26,10 @@ module is the scale path that replaces the O(N·d) scan:
   computed driver-side with the SAME numpy routine as the build (bit-
   identical), expanded to all buckets within Hamming radius ``radius``
   (multi-probe LSH — recall of many tables at the candidate cost of few),
-  and the scan is pruned by PARTITION FILTERS on (table_id, bucket)
-  before a broadcast join + exact-cosine rerank.  No shuffle of the
-  corpus at query time.
+  and the scan is pruned by PARTITION FILTERS on (table_id,
+  bucket_prefix) plus a bucket row-group predicate before a broadcast
+  join + Arrow fold-kernel exact-cosine rerank (similarity.rerank_topk).
+  No shuffle of the corpus at query time.
 
 Exactness contract: approximate by design; recall@k vs the brute-force
 scorer is pinned in tests/test_pipeline_ops.py (the brute path,
@@ -43,18 +46,26 @@ from itertools import combinations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import FORMAT_VERSION
 from ..functions.hashing import HASH_SPEC_VERSION, h32_py
 from ..functions.npfold import fold_dot, fold_norm
-from .similarity import cosine_col
+from .similarity import rerank_topk
 
 #: default hash-table count (multi-table LSH: union of probed buckets)
 LSH_INDEX_TABLES = 8
 #: target vectors per bucket — drives plane-count auto-scaling
 TARGET_BUCKET_SIZE = 256
+#: directory-partition granularity: layouts partition on the bucket's TOP
+#: ``min(planes, LSH_PREFIX_BITS)`` bits, with the full bucket id a
+#: file-sorted DATA column (parquet row-group min/max prunes the rest).
+#: Bounds the dir count at tables × 2^LSH_PREFIX_BITS at ANY corpus size —
+#: partitioning on the raw bucket id produced tables × 2^planes dirs
+#: (24k at 1.4M vectors, 33M at 10^9), and the open-time file listing of
+#: that layout cost 50 s of driver jobs before the first query ran.
+LSH_PREFIX_BITS = 9
 
 
 def plane_matrix(dim: int, tables: int, planes: int) -> np.ndarray:
@@ -111,9 +122,13 @@ def build_lsh_index(
 
     ``emb`` must have (vec_id BIGINT, embedding ARRAY<FLOAT>).  Rows are
     replicated ``tables`` times (one per hash table) and written
-    partitioned by (table_id, bucket) so queries prune to their probed
-    partitions.  An explicit repartition on the partition keys bounds the
-    file count to one writer task per populated (table_id, bucket) slice.
+    partitioned by (table_id, bucket_prefix) — the bucket's top
+    ``min(planes, LSH_PREFIX_BITS)`` bits — with the full ``bucket`` id
+    sorted within each file so row-group stats prune to the probed
+    buckets.  An explicit repartition on the partition keys bounds the
+    file count to one writer task per populated prefix slice, and the
+    prefix cap bounds the DIRECTORY count independently of corpus size
+    (see LSH_PREFIX_BITS).
     """
     first = emb.select(F.size("embedding").alias("d")).first()
     if first is None:
@@ -123,6 +138,9 @@ def build_lsh_index(
     if planes is None:
         planes = auto_planes(n, target_bucket)
     P = plane_matrix(dim, tables, planes)
+
+    prefix_bits = min(planes, LSH_PREFIX_BITS)
+    shift = planes - prefix_bits
 
     def assign(batches):
         for pdf in batches:
@@ -139,6 +157,7 @@ def build_lsh_index(
                             "vec_id": pdf["vec_id"].to_numpy(),
                             "table_id": np.int32(t),
                             "bucket": B[t],
+                            "bucket_prefix": B[t] >> shift,
                             "embedding": pdf["embedding"],
                             "nrm": nrm,
                         }
@@ -147,18 +166,36 @@ def build_lsh_index(
             yield pd.concat(frames, ignore_index=True)
 
     schema = (
-        "vec_id bigint, table_id int, bucket bigint, "
+        "vec_id bigint, table_id int, bucket bigint, bucket_prefix bigint, "
         "embedding array<float>, nrm double"
     )
     bucketed = emb.select("vec_id", "embedding").mapInPandas(assign, schema=schema)
     n_out = min(
-        spark.sparkContext.defaultParallelism * 4, max(2, tables * (1 << planes))
+        spark.sparkContext.defaultParallelism * 4,
+        max(2, tables * (1 << prefix_bits)),
     )
     (
-        bucketed.repartition(n_out, "table_id", "bucket")
+        bucketed.repartition(n_out, "table_id", "bucket_prefix")
+        .sortWithinPartitions("bucket")  # row-group min/max → bucket prune
         .write.mode("overwrite")
-        .partitionBy("table_id", "bucket")
+        .partitionBy("table_id", "bucket_prefix")
+        # lookup-optimized row groups: a probe needs ONE bucket (~256
+        # rows ≈ 70 KB); default 128 MB row groups would make stats
+        # pruning a no-op and every probe decode a whole prefix slice
+        .option("parquet.block.size", 1 << 20)
         .parquet(os.path.join(root, "buckets"))
+    )
+    # bucket-occupancy sidecar: (table_id, bucket) → count, the driver-side
+    # statistic behind query-adaptive probing (LshIndex.topk budget=...).
+    # One column-pruned pass over the layout just written; tiny output
+    # (n/target_bucket × tables rows — 64k at 1.4M vectors, ~31M at 10^9).
+    (
+        spark.read.parquet(os.path.join(root, "buckets"))
+        .groupBy("table_id", "bucket")
+        .count()
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "bucket_counts"))
     )
     meta = {
         "format_version": FORMAT_VERSION,
@@ -167,6 +204,8 @@ def build_lsh_index(
         "n": n,
         "tables": tables,
         "planes": planes,
+        "prefix_bits": prefix_bits,
+        "counts": True,
     }
     tmp = os.path.join(root, "_lsh_meta.json.tmp")
     with open(tmp, "w") as f:
@@ -193,6 +232,31 @@ class LshIndex:
         self._P = plane_matrix(self.meta["dim"], self.meta["tables"], self.meta["planes"])
         base = os.path.join(root, "buckets")
         self._df = spark.read.option("basePath", base).parquet(base)
+        self._counts: tuple[np.ndarray, np.ndarray] | None | bool = False  # lazy
+
+    def _bucket_counts(self) -> tuple[np.ndarray, np.ndarray] | None:
+        """Sorted (key, count) arrays of the bucket-occupancy sidecar, or
+        None for legacy layouts without one.  Loaded once, directly via
+        pyarrow — no Spark job (it is a driver-side probe-planning
+        statistic, ~16 B/bucket: 1 MB at 1.4M vectors, ~500 MB at 10^9;
+        past that, switch probe planning to a per-batch selective read)."""
+        if self._counts is False:
+            if not self.meta.get("counts"):
+                self._counts = None
+            else:
+                import pyarrow.parquet as pq
+
+                tb = pq.read_table(
+                    os.path.join(self.root, "bucket_counts"),
+                    columns=["table_id", "bucket", "count"],
+                )
+                key = (
+                    tb.column("table_id").to_numpy().astype(np.int64) << 48
+                ) | tb.column("bucket").to_numpy().astype(np.int64)
+                cnt = tb.column("count").to_numpy().astype(np.int64)
+                order = np.argsort(key)
+                self._counts = (key[order], cnt[order])
+        return self._counts
 
     def topk(
         self,
@@ -200,6 +264,7 @@ class LshIndex:
         k: int = 10,
         radius: int = 1,
         deleted=None,
+        budget: int | None = None,
     ) -> DataFrame:
         """Approximate top-k for explicit (query_id, vector) pairs.
 
@@ -211,6 +276,21 @@ class LshIndex:
         reference's (/root/reference/index.go:44-50), so logical deletes
         must be honored at serve time until the index is rebuilt (the
         same contract as the lexical scorers, operators/wand.py).
+
+        ``budget`` (opt-in) caps the CANDIDATE rows fetched per query:
+        probes within ``radius`` are ordered query-directed (ascending sum
+        of |projection margin| over the flipped planes — the bits most
+        likely to have cut off a true neighbor, Lv et al. multi-probe
+        LSH), empty buckets are skipped, and expansion stops once the
+        bucket-occupancy sidecar says the budget is met.  The exact-hash
+        distance-0 buckets of every table are always probed.  This is the
+        heavy-tail guard at scale: a clustered corpus concentrates rows in
+        few buckets, and an unbudgeted radius-1 batch can pull >70% of the
+        corpus as candidates (measured at 1.4M vectors) where a 50·k
+        budget with margin ordering keeps recall (pinned in bench
+        ann_1p4m) at ~1% of the scan.  Default None = full expansion
+        (the oracle-mirrored gate shape); requires the counts sidecar
+        (meta["counts"]), silently full-expands on legacy layouts.
         """
         if k <= 0 or not queries:
             return self.spark.createDataFrame(
@@ -219,32 +299,81 @@ class LshIndex:
         tables, planes = self.meta["tables"], self.meta["planes"]
         Q = np.asarray([v for _, v in queries], dtype=np.float64)
         qn = fold_norm(Q)
-        B = buckets_np(Q, self._P)
-        masks = _probe_masks(planes, radius)
+        # projections per table — signs give the bucket (bit-identical to
+        # buckets_np: same fold kernel), magnitudes are the probe margins
+        proj = np.stack([fold_dot(Q, self._P[t]) for t in range(tables)])
+        w = 1 << np.arange(planes, dtype=np.int64)
+        B = (proj > 0).astype(np.int64) @ w  # (tables, n_queries)
+        mask_bits = [
+            (sum(1 << b for b in bits), bits)
+            for r in range(radius + 1)
+            for bits in combinations(range(planes), r)
+        ]
+        counts = self._bucket_counts() if (budget is not None) else None
 
         probe_rows = []
         for qi, (qid, vec) in enumerate(queries):
+            vec_f = [float(x) for x in vec]
+            qn_f = float(qn[qi])
+            if counts is None:
+                for t in range(tables):
+                    for m, _ in mask_bits:
+                        probe_rows.append((int(qid), t, int(B[t, qi]) ^ m, vec_f, qn_f))
+                continue
+            # query-directed budgeted expansion: cheapest margin first
+            margins = np.abs(proj[:, qi, :])  # (tables, planes)
+            cand = []
+            keys = []
             for t in range(tables):
-                for m in masks:
-                    probe_rows.append(
-                        (int(qid), t, int(B[t, qi]) ^ m, [float(x) for x in vec], float(qn[qi]))
-                    )
+                for m, bits in mask_bits:
+                    b = int(B[t, qi]) ^ m
+                    cost = float(margins[t, list(bits)].sum()) if bits else -1.0
+                    cand.append((cost, t, b))
+                    keys.append((t << 48) | b)
+            ckey, ccnt = counts
+            pos = np.searchsorted(ckey, np.asarray(keys, dtype=np.int64))
+            pos_ok = (pos < len(ckey)) & (ckey[np.minimum(pos, len(ckey) - 1)] == keys)
+            sizes = np.where(pos_ok, ccnt[np.minimum(pos, len(ckey) - 1)], 0)
+            order = sorted(range(len(cand)), key=lambda i: cand[i][0])
+            total = 0
+            for i in order:
+                cost, t, b = cand[i]
+                sz = int(sizes[i])
+                if sz == 0:
+                    continue  # empty bucket: nothing to fetch
+                if cost >= 0.0 and total >= budget:
+                    break  # distance-0 probes (cost -1) always included
+                total += sz
+                probe_rows.append((int(qid), t, b, vec_f, qn_f))
         probes = self.spark.createDataFrame(
             probe_rows,
             "query_id bigint, table_id int, bucket bigint, q_emb array<double>, q_nrm double",
         )
 
-        # partition pruning: OR of per-table In-filters on the partition
-        # columns — the scan touches only probed (table_id, bucket) dirs
+        # pruning: partition filters on (table_id, bucket_prefix) cut the
+        # scan to the probed prefix dirs, then the bucket In-filter pushes
+        # into parquet row groups (files are bucket-sorted at write).
+        # Legacy layouts (no prefix_bits in meta) partition on the raw
+        # bucket and prune directly.
         by_table: dict[int, set[int]] = {}
         for _, t, b, _, _ in probe_rows:
             by_table.setdefault(t, set()).add(b)
-        pred = reduce(
-            lambda a, b: a | b,
-            [
-                (F.col("table_id") == t) & F.col("bucket").isin(sorted(bs))
-                for t, bs in by_table.items()
-            ],
+        shift = planes - self.meta.get("prefix_bits", planes)
+        has_prefix = "prefix_bits" in self.meta
+
+        def table_pred(t: int, bs: set[int]):
+            p = (F.col("table_id") == t) & F.col("bucket").isin(sorted(bs))
+            if has_prefix:
+                p = p & F.col("bucket_prefix").isin(sorted({b >> shift for b in bs}))
+            return p
+
+        pred = reduce(lambda a, b: a | b, [table_pred(t, bs) for t, bs in by_table.items()])
+        # the bucket In-filter must reach parquet row-group stats: Spark
+        # skips parquet pushdown for In-sets beyond a small threshold
+        # (default 10), and a multi-probe batch carries hundreds of
+        # buckets — raise it for this session (runtime SQLConf, no restart)
+        self.spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold", "4096"
         )
         corpus = self._df.filter(pred)
         if deleted:
@@ -255,25 +384,15 @@ class LshIndex:
             corpus.join(F.broadcast(probes), ["table_id", "bucket"])
             .dropDuplicates(["query_id", "vec_id"])
         )
-        scored = cand.select(
-            "query_id",
-            "vec_id",
-            F.round(
-                cosine_col(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm"))
-                * 1e6
-            )
-            .cast("bigint")
-            .alias("cos_micro"),
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "vec_id", "rank", "cos_micro")
-        )
+        return rerank_topk(cand, k)
 
     def topk_for_ids(
-        self, query_ids: list[int], k: int = 10, radius: int = 1, deleted=None
+        self,
+        query_ids: list[int],
+        k: int = 10,
+        radius: int = 1,
+        deleted=None,
+        budget: int | None = None,
     ) -> DataFrame:
         """Convenience: queries are rows of the indexed corpus itself.
 
@@ -289,5 +408,9 @@ class LshIndex:
         )
         vecs = {int(r["vec_id"]): list(r["embedding"]) for r in rows}
         return self.topk(
-            [(q, vecs[q]) for q in live if q in vecs], k, radius, deleted=deleted
+            [(q, vecs[q]) for q in live if q in vecs],
+            k,
+            radius,
+            deleted=deleted,
+            budget=budget,
         )

@@ -59,6 +59,55 @@ def with_norm(emb: DataFrame) -> DataFrame:
     return emb.withColumn("nrm", norm_col(F.col("embedding")))
 
 
+def rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rerank + per-query top-k over an ANN candidate frame
+    (query_id, vec_id, embedding, nrm, q_emb, q_nrm) → (query_id, vec_id,
+    rank, cos_micro), (cos_micro DESC, vec_id ASC).
+
+    The cosine runs as an Arrow/numpy kernel in ``mapInPandas`` using the
+    SEQUENTIAL-FOLD pair kernel (functions/npfold.fold_dot_pairs) — bit-
+    identical to the JVM ``cosine_col`` fold and the DuckDB oracle's
+    list_reduce (property-pinned), but vectorized: the higher-order-
+    function fold is interpreted per lambda call, the measured ~10×
+    anti-pattern on candidate sets beyond a few thousand rows.  Rounding
+    to micro stays JVM-side (F.round half-up, the oracle convention)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.npfold import fold_dot_pairs
+
+    def kern(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q_emb"].to_numpy()).astype(np.float64)
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cos = fold_dot_pairs(Q, E) / (
+                pdf["q_nrm"].to_numpy() * pdf["nrm"].to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cos": cos,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        kern, "query_id bigint, vec_id bigint, cos double"
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_micro")
+    )
+
+
 def exclude_ids(df: DataFrame, col: str, deleted) -> DataFrame:
     """Drop rows whose ``col`` is tombstoned — the ANN/similarity
     analogue of the lexical scorers' delete mask (wand.py wand_topk /

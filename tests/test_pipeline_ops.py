@@ -395,7 +395,7 @@ def test_npfold_matches_jvm_fold_bitwise(spark):
     pins kernel-vs-scalar agreement the same way, simd_test.go:52-74)."""
     import numpy as np
 
-    from search_spark.functions.npfold import fold_dot, fold_norm
+    from search_spark.functions.npfold import fold_dot, fold_dot_pairs, fold_norm
     from search_spark.operators.similarity import dot_col, norm_col
     from pyspark.sql import functions as F
 
@@ -411,6 +411,11 @@ def test_npfold_matches_jvm_fold_bitwise(spark):
     ).collect()
     want_d = fold_dot(A.astype(np.float64), B.astype(np.float64))[:, 0]
     want_n = fold_norm(A.astype(np.float64))
+    # the row-paired rerank kernel must agree with both forms bit-for-bit
+    want_p = fold_dot_pairs(
+        A.astype(np.float64), np.repeat(B.astype(np.float64), len(A), axis=0)
+    )
+    assert (want_p == want_d).all()
     for r in rows:
         assert r["d"] == want_d[r["i"]], (r["d"], want_d[r["i"]])
         assert r["n"] == want_n[r["i"]]
