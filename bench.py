@@ -87,10 +87,35 @@ def make_spark(cpus: str, app: str = "search-spark-bench"):
         # zstd shuffle/broadcast codec: −46% build shuffle-write bytes vs
         # lz4 at equal-or-better wall time (interleaved probes, BENCH.md
         # r5) — at cluster scale those bytes are network, so this is the
-        # production default, not a bench trick
-        .config("spark.io.compression.codec", "zstd")
+        # production default, not a bench trick.  Env-overridable for
+        # codec A/B probes and latency-sensitive serving sessions.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
         .getOrCreate()
     )
+
+
+def shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes across all stages so far — the same
+    number the Spark UI's stage table reports (JVM AppStatusStore, which
+    runs even with the UI disabled).  Snapshot before/after a phase and
+    diff to attribute bytes to it.  Returns -1 if the internal signature
+    drifts (the bench then just omits the field)."""
+    try:
+        gw = spark.sparkContext._gateway  # noqa: SLF001 - metrics probe
+        empty = gw.jvm.java.util.ArrayList()
+        no_pctl = gw.new_array(gw.jvm.double, 0)
+        stages = (
+            spark._jsc.sc().statusStore().stageList(empty, False, False, no_pctl, empty)
+        )  # noqa: SLF001
+        tot, it = 0, stages.iterator()
+        while it.hasNext():
+            tot += it.next().shuffleWriteBytes()
+        return int(tot)
+    except Exception:
+        return -1
 
 
 def _pctl(xs: list[float], p: float) -> float:
@@ -175,11 +200,18 @@ def run_default(spark, sf_dir: str) -> dict:
     try:
         tr = transcripts_from_documents(spark, sf_dir)
         s0 = cpu_steal_sample()
+        sw0 = shuffle_write_bytes(spark)
         reader, n_docs, build_s = build_wand_index(spark, tr, workdir)
+        sw1 = shuffle_write_bytes(spark)
         steal["build"] = steal_frac(s0, cpu_steal_sample())
         out["build"] = round(build_s, 4)
         out["_n_docs"] = n_docs
         out["_build_tps"] = round(n_docs / build_s, 1)
+        if sw0 >= 0 and sw1 >= sw0:
+            # VERDICT r4 #2 done-criterion: the dictionary-encoded tf
+            # exchange's bytes/turn, tracked per round instead of narrated
+            out["_build_shuffle_mb"] = round((sw1 - sw0) / 1e6, 2)
+            out["_build_shuffle_bytes_per_turn"] = round((sw1 - sw0) / n_docs, 1)
 
         dq = doc_queries()
         s0 = cpu_steal_sample()
@@ -644,6 +676,8 @@ def main_default() -> None:
         "sf": sf_val,
         "n_docs": times["_n_docs"],
         "build_turns_per_sec": times["_build_tps"],
+        "build_shuffle_mb": times.get("_build_shuffle_mb"),
+        "build_shuffle_bytes_per_turn": times.get("_build_shuffle_bytes_per_turn"),
         "q_p50_ms": times["_p50_ms"],
         "q_p99_ms": times["_p99_ms"],
         "match_rate": times["_match_rate"],
@@ -695,7 +729,9 @@ def run_level(cpus: int, corpus_path: str) -> dict:
         _mark(f"level {cpus}: build start")
         tr = spark.read.parquet(corpus_path)
         s0 = cpu_steal_sample()
+        sw0 = shuffle_write_bytes(spark)
         reader, n_docs, build_s = build_wand_index(spark, tr, workdir, n_units=8, unit_parallelism=8)
+        sw1 = shuffle_write_bytes(spark)
         build_steal = steal_frac(s0, cpu_steal_sample())
         _mark(f"level {cpus}: build done {n_docs} docs in {build_s:.1f}s "
               f"(steal {build_steal:.1%}); query start")
@@ -717,6 +753,9 @@ def run_level(cpus: int, corpus_path: str) -> dict:
             "build_secs": round(build_s, 2),
             "build_turns_per_sec": round(n_docs / build_s, 1),
             "build_steal": build_steal,
+            "build_shuffle_bytes_per_turn": (
+                round((sw1 - sw0) / n_docs, 1) if sw0 >= 0 and sw1 >= sw0 else None
+            ),
             "query_secs": round(query_s, 2),
             "queries_per_sec": round(nq / query_s, 2),
             "query_steal": query_steal,
@@ -873,6 +912,9 @@ def main_scaling() -> None:
                 "build_secs": best_build[c]["build_secs"],
                 "build_turns_per_sec": best_build[c]["build_turns_per_sec"],
                 "build_steal": best_build[c].get("build_steal"),
+                "build_shuffle_bytes_per_turn": best_build[c].get(
+                    "build_shuffle_bytes_per_turn"
+                ),
                 "query_secs": best_query[c]["query_secs"],
                 "queries_per_sec": best_query[c]["queries_per_sec"],
                 "query_steal": best_query[c].get("query_steal"),
