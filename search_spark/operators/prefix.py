@@ -92,6 +92,73 @@ def suggest_terms(
     )
 
 
+def expand_prefix_multi(
+    reader, prefixes: list[str], max_expansions: int = MAX_EXPANSIONS
+) -> dict[str, list[str]]:
+    """Per-prefix expansions in ONE dictionary scan: the (tiny) prefix set
+    broadcast-joins the vocabulary under a ``startswith`` predicate, then a
+    per-prefix window keeps the top ``max_expansions`` by (df DESC, term
+    ASC) — the same rule as :func:`expand_prefix`, amortized over N
+    prefixes.  The multi-prefix predicate can't push a single
+    StringStartsWith into the scan, but the dictionary is the metadata
+    table (tiny next to postings) and N prefixes cost one scan, not N."""
+    pfx = sorted({p for p in prefixes if p})
+    if not pfx:
+        return {}
+    spark = reader.spark
+    pfx_df = spark.createDataFrame([(p,) for p in pfx], "qpfx string")
+    w = Window.partitionBy("qpfx").orderBy(F.desc("df"), F.asc("term"))
+    rows = (
+        reader._dict_df.join(F.broadcast(pfx_df), F.col("term").startswith(F.col("qpfx")))
+        .select("qpfx", "term", "df")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .collect()
+    )
+    out: dict[str, list[str]] = {p: [] for p in pfx}
+    for r in sorted(rows, key=lambda r: (r["qpfx"], -int(r["df"]), r["term"])):
+        out[r["qpfx"]].append(r["term"])
+    return out
+
+
+def prefix_batch(
+    reader,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Batched prefix search: ``queries`` = [(query_id, prefix)] →
+    (query_id, rank, doc_id, score) — :func:`prefix_search` semantics per
+    query through the amortized shape shared by fuzzy_batch /
+    phrase_batch / boolean_batch: ONE dictionary-expansion scan for all
+    prefixes (:func:`expand_prefix_multi`), then ONE pruned posting scan
+    + exchange through the shared batch scorer, where expansions shared
+    across queries decode once per bucket for the whole batch.
+
+    Both halves are driver-gate-verified independently (the expansion
+    rule by prefix_topk/suggest_terms, the batch scorer by the
+    *_batch entries); tests/test_prefix.py pins this composition
+    rank+score-identical to per-query prefix_search."""
+    spark = reader.spark
+    empty = "query_id string, rank int, doc_id bigint, score double"
+    if k <= 0 or not queries:
+        return spark.createDataFrame([], empty)
+    norm_by_q: dict[str, str] = {}
+    for qid, text in queries:
+        toks = tokenize(text)
+        if toks:
+            norm_by_q[qid] = toks[0]
+    per_pfx = expand_prefix_multi(
+        reader, sorted(set(norm_by_q.values())), max_expansions
+    )
+    batch = [
+        (qid, " ".join(per_pfx[p])) for qid, p in norm_by_q.items() if per_pfx.get(p)
+    ]
+    if not batch:
+        return spark.createDataFrame([], empty)
+    return reader.batch_search(batch, k)
+
+
 #: per-token cap for fuzzy expansion (tighter than prefix: distance-1
 #: neighborhoods are small, distance-2 can explode on short tokens)
 MAX_FUZZY_EXPANSIONS = 16

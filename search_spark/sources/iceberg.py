@@ -19,6 +19,23 @@ module's docstring).  This module is the 1:1 mapping onto a real catalog:
 Everything degrades to the parquet IndexStore when the catalog is absent
 (tests cover the probe + fallback path), so one code path serves sandbox
 and cluster.
+
+Round-5 execution attempt (recorded so the remaining gap is precise):
+
+- JVM runtime jar: ``find / -iname '*iceberg*'`` over the whole sandbox
+  filesystem returns nothing — no vendorable
+  ``iceberg-spark-runtime-4.0_2.13-<ver>.jar`` exists anywhere, and the
+  sandbox has no network/pip, so ``--packages`` resolution cannot run.
+- Pure-Python fallback: ``import pyiceberg`` raises ModuleNotFoundError
+  (probe kept executable below as :func:`pyiceberg_available`), and
+  installing it is likewise blocked.
+
+Exact unblocking artifact, either of: (a) the runtime jar above on the
+driver classpath (``SPARK_GRAFT_ICEBERG_JAR=/path/to/jar`` makes
+``tests/test_deploy.py::test_iceberg_writeTo_roundtrip`` run the real
+create → overwritePartitions → append → snapshot path with zero code
+changes), or (b) ``pyiceberg>=0.7`` importable.  Until then the adapter
+is exercised down to the capability probes and the config surface.
 """
 
 from __future__ import annotations
@@ -66,6 +83,19 @@ def iceberg_available(spark: SparkSession) -> bool:
         jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         return spark.conf.get(f"spark.sql.catalog.{CATALOG}", None) is not None
     except Exception:
+        return False
+
+
+def pyiceberg_available() -> bool:
+    """True iff the pure-Python ``pyiceberg`` fallback could drive the
+    metrics/checkpoint tables without the JVM runtime jar.  False in this
+    sandbox (module absent, installs blocked — see module docstring); a
+    host with ``pyiceberg>=0.7`` flips this without code changes."""
+    try:
+        import pyiceberg  # noqa: F401
+
+        return True
+    except ImportError:
         return False
 
 

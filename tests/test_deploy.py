@@ -18,11 +18,16 @@ def test_iceberg_probe_and_fallback(spark):
     from search_spark.sources.iceberg import (
         IcebergIndexCatalog,
         iceberg_available,
+        pyiceberg_available,
         session_builder_conf,
     )
 
     # sandbox has no Iceberg jar: probe must be False, ctor must refuse
     assert iceberg_available(spark) is False
+    # pure-Python fallback likewise absent here (module docstring records
+    # the round-5 attempt + exact unblocking artifacts); the probe itself
+    # must degrade gracefully, not raise
+    assert pyiceberg_available() in (True, False)
     with pytest.raises(RuntimeError, match="IndexStore"):
         IcebergIndexCatalog(spark)
     conf = session_builder_conf("/tmp/wh")

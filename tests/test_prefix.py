@@ -167,3 +167,48 @@ def test_suggest_terms_matches_oracle(reader, ddb):
     assert got == want and len(got) == 4
     assert suggest_terms(reader, "", 8).count() == 0
     assert suggest_terms(reader, "s", 0).count() == 0
+
+
+def test_prefix_batch_identity_and_guards(reader):
+    """prefix_batch ≡ per-query prefix_search (rank + score), both gate-
+    verified halves composed; empty/OOV prefixes contribute 0 rows."""
+    from search_spark.operators.prefix import prefix_batch
+
+    qs = [("p_or", "or"), ("p_fa", "fa"), ("p_t", "t"), ("p_oov", "zzqx")]
+    got = prefix_batch(reader, qs, k=10)
+    assert got.columns == ["query_id", "rank", "doc_id", "score"]
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"] * 1e6))
+        )
+    assert "p_oov" not in by_q
+    for qid, pref in qs[:3]:
+        want = [
+            (r["rank"], r["doc_id"], round(r["score"] * 1e6))
+            for r in prefix_search(reader, pref, 10).collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(want) and len(want) > 0
+    assert prefix_batch(reader, [], k=10).count() == 0
+    assert prefix_batch(reader, qs, k=0).count() == 0
+    assert prefix_batch(reader, [("q", "zzqx")], k=10).count() == 0
+
+
+def test_fuzzy_batch_identity(reader):
+    """fuzzy_batch ≡ per-query fuzzy_search (rank + score)."""
+    from search_spark.operators.prefix import fuzzy_batch
+
+    qs = [("f1", "tble"), ("f2", "hashh"), ("f3", "tble hashh")]
+    got = fuzzy_batch(reader, qs, max_dist=1, k=10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"] * 1e6))
+        )
+    for qid, text in qs:
+        want = [
+            (i + 1, r["doc_id"], round(r["score"] * 1e6))
+            for i, r in enumerate(fuzzy_search(reader, text, 1, 10).collect())
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(want)
