@@ -451,6 +451,24 @@ def fuzzy_batch_sql(
     return "\nUNION ALL\n".join(parts)
 
 
+def prefix_batch_sql(
+    pairs: list[tuple[str, str]],
+    k: int = 10,
+    max_expansions: int = 64,
+    docs_sql: str = DOCS_SQL,
+) -> str:
+    """Batch twin of :func:`prefix_topk_sql` (operators/prefix.prefix_batch):
+    UNION ALL of per-query prefix oracles with a query_id column — the
+    engine shares one dictionary-expansion scan and one posting scan, the
+    SEMANTICS are per-query identical."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id, rank, score_micro FROM "
+        f"({prefix_topk_sql(text, k, max_expansions, docs_sql)})"
+        for qid, text in pairs
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def bm25_page_sql(
     query_text: str, offset: int, size: int, docs_sql: str = DOCS_SQL
 ) -> str:

@@ -195,6 +195,25 @@ def test_prefix_batch_identity_and_guards(reader):
     assert prefix_batch(reader, [("q", "zzqx")], k=10).count() == 0
 
 
+def test_prefix_batch_matches_oracle(reader, ddb):
+    """prefix_batch vs the DuckDB batch oracle directly (oracle_sql.
+    prefix_batch_sql), not just via per-query identity — the same
+    evidence form the driver gate gives the other *_batch entries."""
+    from search_spark.operators.prefix import prefix_batch
+    from search_spark.oracle_sql import prefix_batch_sql
+
+    qs = [("p_or", "or"), ("p_fa", "fa"), ("p_s", "s")]
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"] * 1e6))
+        for r in prefix_batch(reader, qs, k=10).collect()
+    )
+    want = sorted(
+        (r[0], r[2], r[1], r[3])
+        for r in ddb.execute(prefix_batch_sql(qs, 10)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_fuzzy_batch_identity(reader):
     """fuzzy_batch ≡ per-query fuzzy_search (rank + score)."""
     from search_spark.operators.prefix import fuzzy_batch
