@@ -49,6 +49,9 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, query_text: str, k: int = _TOPK
         "doc_id", F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro")
     )
     topk = micro.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k)
+    # rank runs AFTER limit(k): the window input is ≤ k rows by design, so
+    # the single-partition WindowExec warning is benign here (a literal
+    # partition key doesn't silence it — Catalyst folds it away).
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "doc_id", "rank", "score_micro"
@@ -222,6 +225,7 @@ def _phrase_topk(spark: SparkSession, sf_dir: str, phrase: str, k: int = _TOPK) 
         F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
         F.col("ptf").cast("int").alias("ptf"),
     )
+    # ≤ k rows here (search already top-k'd): single-partition rank by design
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "doc_id", "rank", "score_micro", "ptf"
@@ -309,6 +313,7 @@ def _q_near(spark, sf_dir):
         F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro"),
         F.col("ptf").cast("int").alias("ptf"),
     )
+    # ≤ k rows here (search already top-k'd): single-partition rank by design
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "doc_id", "rank", "score_micro", "ptf"
@@ -434,6 +439,7 @@ def _q_boolean(spark, sf_dir):
     micro = res.select(
         "doc_id", F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro")
     )
+    # ≤ k rows here (search already top-k'd): single-partition rank by design
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "doc_id", "rank", "score_micro"
@@ -450,6 +456,7 @@ def _q_boolean_should(spark, sf_dir):
     micro = res.select(
         "doc_id", F.round(F.col("score") * 1e6).cast("bigint").alias("score_micro")
     )
+    # ≤ k rows here (search already top-k'd): single-partition rank by design
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return micro.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "doc_id", "rank", "score_micro"
