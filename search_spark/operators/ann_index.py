@@ -176,7 +176,12 @@ def build_lsh_index(
     )
     (
         bucketed.repartition(n_out, "table_id", "bucket_prefix")
-        .sortWithinPartitions("bucket")  # row-group min/max → bucket prune
+        # the partitioned writer REQUIRES child ordering on the partition
+        # columns; sorting on them first (then bucket) satisfies it, so
+        # the planner adds no second sort and the within-file bucket
+        # order (row-group min/max → bucket prune) is guaranteed rather
+        # than riding on the injected sort's stability
+        .sortWithinPartitions("table_id", "bucket_prefix", "bucket")
         .write.mode("overwrite")
         .partitionBy("table_id", "bucket_prefix")
         # lookup-optimized row groups: a probe needs ONE bucket (~256
@@ -233,6 +238,14 @@ class LshIndex:
         base = os.path.join(root, "buckets")
         self._df = spark.read.option("basePath", base).parquet(base)
         self._counts: tuple[np.ndarray, np.ndarray] | None | bool = False  # lazy
+        # documented session default of opening an ANN index: the bucket
+        # In-filter must reach parquet row-group stats, and Spark skips
+        # parquet pushdown for In-sets beyond a small threshold (default
+        # 10) while a multi-probe batch carries hundreds of buckets.  Set
+        # ONCE here — the query methods return lazy DataFrames, so the
+        # conf has to hold at action time, not call time; a set/restore
+        # inside topk() would silently undo itself before execution.
+        spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
 
     def _bucket_counts(self) -> tuple[np.ndarray, np.ndarray] | None:
         """Sorted (key, count) arrays of the bucket-occupancy sidecar, or
@@ -345,6 +358,13 @@ class LshIndex:
                     break  # distance-0 probes (cost -1) always included
                 total += sz
                 probe_rows.append((int(qid), t, b, vec_f, qn_f))
+        if not probe_rows:
+            # budgeted expansion can skip EVERY probe (all candidate
+            # buckets empty in the sidecar — e.g. an out-of-corpus query
+            # over a sparse layout): no candidates, empty result
+            return self.spark.createDataFrame(
+                [], "query_id bigint, vec_id bigint, rank int, cos_micro bigint"
+            )
         probes = self.spark.createDataFrame(
             probe_rows,
             "query_id bigint, table_id int, bucket bigint, q_emb array<double>, q_nrm double",
@@ -368,13 +388,6 @@ class LshIndex:
             return p
 
         pred = reduce(lambda a, b: a | b, [table_pred(t, bs) for t, bs in by_table.items()])
-        # the bucket In-filter must reach parquet row-group stats: Spark
-        # skips parquet pushdown for In-sets beyond a small threshold
-        # (default 10), and a multi-probe batch carries hundreds of
-        # buckets — raise it for this session (runtime SQLConf, no restart)
-        self.spark.conf.set(
-            "spark.sql.parquet.pushdown.inFilterThreshold", "4096"
-        )
         corpus = self._df.filter(pred)
         if deleted:
             from .similarity import exclude_ids

@@ -390,7 +390,12 @@ def _encode_partition(avgdl: float, doc_base: int, bucket_base: int, doc_bucket_
                     "index encode: term-id collision inside one "
                     "(tid, doc_bucket) run — two distinct terms hashed to "
                     "the same 64-bit id in the same doc bucket (~n²/2⁶⁴ "
-                    "odds); rebuild to redraw batch boundaries"
+                    "odds).  The hash is a deterministic function of the "
+                    "corpus (no per-build salt), so a plain rebuild WILL "
+                    "fail identically; recover by bumping doc_bucket_size/"
+                    "term_buckets (moves one colliding term to another "
+                    "bucket) or report it — a fleet-wide salt knob is the "
+                    "format change this error is the tripwire for"
                 )
             cols = codec.encode_runs(run_id, bucket, d, tf, dl, avgdl)
             cols["term"] = run_label[cols["term"].astype(np.int64)]

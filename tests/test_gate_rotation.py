@@ -156,8 +156,16 @@ def _changed_files() -> set[str]:
 def test_module_map_covers_diff():
     """Every changed engine module must appear in MODULE_ENTRIES — a new
     or renamed module cannot silently opt its entries out of rule 3.
-    Oracle generators map onto the same entry families as the engine
-    modules they mirror (a changed oracle changes the comparison)."""
+
+    DELIBERATE EXEMPTION: ``oracle_sql*.py`` (the DuckDB oracle
+    generators) are excluded from rule 3.  A single oracle file backs
+    ~40 entries, so mapping it would evict rule-1 entries from the
+    50-slot gate on any oracle edit; instead, every oracle change is
+    re-verified on every pytest run by the local gate replica
+    (tests/test_entry_contract.py runs ALL entries through the exact
+    rows+schema+values compare the driver uses).  The exemption trades
+    a driver-gate row for a same-strength local check, not for
+    nothing."""
     engine = {
         f for f in _changed_files()
         if f.startswith("search_spark/") and f.endswith(".py")

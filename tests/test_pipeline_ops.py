@@ -136,6 +136,34 @@ def test_persisted_lsh_index_recall_and_pruning(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "table_id" in plan
 
 
+def test_lsh_budgeted_all_probes_empty_returns_empty(spark, tmp_path):
+    """Budgeted expansion skips empty buckets; a query whose ENTIRE probe
+    set is empty (out-of-corpus vector over a sparse layout) must return
+    an empty frame, not crash building the probe predicate."""
+    import numpy as np
+    import pandas as pd
+
+    from search_spark.operators.ann_index import LshIndex, build_lsh_index
+
+    # 5 identical vectors → exactly one populated bucket per table
+    v = np.ones(16, dtype=np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(5, dtype=np.int64), "embedding": [v.tolist()] * 5}
+        )
+    )
+    # planes=8: -v's bucket and all its radius-1 flips sit ≥ 7 bits from
+    # the one populated bucket per table → every probe lands empty
+    build_lsh_index(spark, emb, str(tmp_path / "lsh"), tables=4, planes=8)
+    idx = LshIndex(spark, str(tmp_path / "lsh"))
+    res = idx.topk([(99, (-v).tolist())], k=5, radius=1, budget=100)
+    assert res.count() == 0
+    assert res.columns == ["query_id", "vec_id", "rank", "cos_micro"]
+    # same query unbudgeted goes through the full-expansion path (no
+    # sidecar consult) and must also come back empty-but-well-formed
+    assert idx.topk([(99, (-v).tolist())], k=5, radius=1).count() == 0
+
+
 def test_persisted_ivf_index_recall_and_pruning(spark, tmp_path):
     """IVF ANN (coarse-quantizer alternative to sign-LSH): deterministic
     sample-fit k-means cells, partition-pruned nprobe scan, exact rerank.
