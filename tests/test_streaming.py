@@ -78,6 +78,42 @@ def test_stream_rank_identity_vs_oracle(spark, streamed_store):
         assert got == want, q
 
 
+def test_doc_source_excludes_unacked_stream_batch(spark, streamed_store):
+    """Crash-window coherence for dense/flat scans: stream docs land on
+    disk BEFORE their postings commit, so a batch=N dir whose ledger entry
+    never reached status=done (live or crashed micro-batch) must be
+    invisible to doc_source — the flat dense verify and the posting
+    candidate path see the same corpus at every crash point."""
+    import shutil
+
+    from search_spark.operators.wand import IndexReader
+
+    store, pdf = streamed_store
+    sdocs = os.path.join(store.root, "stream_docs")
+    acked_dirs = sorted(d for d in os.listdir(sdocs) if d.startswith("batch="))
+    phantom = os.path.join(sdocs, "batch=999")
+    # simulate the crash window: docs written, ledger never marked done
+    shutil.copytree(os.path.join(sdocs, acked_dirs[0]), phantom)
+    try:
+        reader = IndexReader(spark, store)
+        src = reader.doc_source()
+        assert src.count() == len(pdf)  # phantom rows filtered out
+        batches = {
+            r["batch"]
+            for r in spark.read.option("basePath", sdocs)
+            .parquet(sdocs)
+            .select("batch")
+            .distinct()
+            .collect()
+        }
+        assert 999 in batches  # the dir IS on disk and readable…
+        # …and no doc_id appears twice (the phantom duplicates batch 0's
+        # ids — an unfiltered union would double them)
+        assert src.select("doc_id").distinct().count() == len(pdf)
+    finally:
+        shutil.rmtree(phantom, ignore_errors=True)
+
+
 def test_stream_replay_is_idempotent(spark, streamed_store):
     """Re-delivering a committed batch_id (crash replay) changes nothing."""
     store, pdf = streamed_store
