@@ -565,7 +565,17 @@ def run_big_ann(spark) -> dict:
     idx = LshIndex(spark, BIG_ANN)
     out["open_secs"] = round(time.perf_counter() - t0, 3)
     out.setdefault("planes", idx.meta["planes"])
-    qids = [0, 7, 123_456, 314_159, 555_555, 777_777, 901_234, 1_111_111, 1_250_000, 1_399_999]
+    # derived from the OPENED index's recorded corpus size (meta["n"] — the
+    # store persists across runs, so the env knob may not describe it), not
+    # hardcoded absolutes: a SPARK_GRAFT_BIG_EMB_N below the default must
+    # not KeyError the brute truth.  Fractions land on the default's
+    # historical ids at N=1.4M (0, 7, 123456, ..., 1399999) so
+    # round-over-round numbers compare.
+    n_idx = int(idx.meta["n"])
+    out["n"] = n_idx  # what the layout actually holds, not the env knob
+    fracs = [0.0, 0.000005, 0.08818286, 0.22439929, 0.39682500,
+             0.55555500, 0.64373857, 0.79365071, 0.89285714, 0.99999929]
+    qids = sorted({min(n_idx - 1, round(f * n_idx)) for f in fracs})
 
     # serving model: the caller holds the query vectors (topk_for_ids'
     # fetch is a convenience full-slice scan, documented as such) — fetch

@@ -101,13 +101,24 @@ def auto_planes(n: int, target_bucket: int = TARGET_BUCKET_SIZE) -> int:
     return max(4, min(24, math.ceil(math.log2(max(1.0, n / target_bucket)))))
 
 
-def _probe_masks(planes: int, radius: int) -> list[int]:
-    """XOR masks for all buckets within Hamming distance ``radius``."""
-    masks = [0]
+def _probe_mask_bits(planes: int, radius: int) -> list[tuple[int, tuple[int, ...]]]:
+    """(xor_mask, flipped_bit_positions) for all buckets within Hamming
+    distance ``radius``, distance-0 first.  THE single source of truth for
+    the probe expansion: LshIndex.topk consumes the pairs (bits drive the
+    query-directed margin cost) and the DuckDB oracle mirror
+    (oracle_sql_pipeline.lsh_index_topk_sql) consumes the masks — gate
+    identity of ann_lsh_* rests on both sides probing the same bucket set,
+    so neither may enumerate independently."""
+    out: list[tuple[int, tuple[int, ...]]] = [(0, ())]
     for r in range(1, radius + 1):
         for bits in combinations(range(planes), r):
-            masks.append(sum(1 << b for b in bits))
-    return masks
+            out.append((sum(1 << b for b in bits), bits))
+    return out
+
+
+def _probe_masks(planes: int, radius: int) -> list[int]:
+    """XOR masks for all buckets within Hamming distance ``radius``."""
+    return [m for m, _ in _probe_mask_bits(planes, radius)]
 
 
 def build_lsh_index(
@@ -221,7 +232,17 @@ def build_lsh_index(
 
 class LshIndex:
     """Query-side handle on a persisted LSH layout (snapshot at open, like
-    operators/wand.IndexReader)."""
+    operators/wand.IndexReader).
+
+    Opening an index raises ``spark.sql.parquet.pushdown.inFilterThreshold``
+    to 4096 FOR THE WHOLE SESSION (deliberate: the query methods return lazy
+    DataFrames, so the conf must hold at action time — a set/restore inside
+    topk() would undo itself before execution).  The setting only widens
+    when parquet In-filters reach row-group stats; for non-ANN scans that
+    means a >10-element isin() can now prune row groups too — strictly more
+    pruning, at a per-row-group predicate-evaluation cost that is noise next
+    to decode.  Callers embedding this in a latency-critical mixed session
+    can snapshot/restore the conf around the ANN lifetime themselves."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -317,11 +338,7 @@ class LshIndex:
         proj = np.stack([fold_dot(Q, self._P[t]) for t in range(tables)])
         w = 1 << np.arange(planes, dtype=np.int64)
         B = (proj > 0).astype(np.int64) @ w  # (tables, n_queries)
-        mask_bits = [
-            (sum(1 << b for b in bits), bits)
-            for r in range(radius + 1)
-            for bits in combinations(range(planes), r)
-        ]
+        mask_bits = _probe_mask_bits(planes, radius)
         counts = self._bucket_counts() if (budget is not None) else None
 
         probe_rows = []

@@ -759,19 +759,12 @@ class IndexReader:
         sdocs_root = os.path.join(self.store.root, "stream_docs")
         if os.path.exists(sdocs_root):
             # only INDEX-ACKNOWLEDGED batches: stream docs land on disk
-            # BEFORE their postings commit (streaming/ingest.py writes
-            # stream_docs, then postings, then the ledger done-mark), so a
-            # flat scan during a live or crashed micro-batch would surface
-            # docs the index never served — diverging from the candidate
-            # path on the same store state.  Mirror the index's own
-            # discovery: the stream_batches ledger.
-            acked = sorted(
-                int(b)
-                for b, v in self.store.checkpoints()
-                .get("stream_batches", {})
-                .items()
-                if v.get("status") == "done" and v.get("n_docs", 0) > 0
-            )
+            # BEFORE their postings commit, so a flat scan during a live or
+            # crashed micro-batch would surface docs the index never served
+            # — diverging from the candidate path on the same store state.
+            # The crash-window rule lives in ONE place (the store helper)
+            # shared with finalize_stream's full recompute.
+            acked = self.store.acked_stream_batches()
             if acked:
                 stream = (
                     self.spark.read.option("basePath", sdocs_root)

@@ -257,6 +257,24 @@ class IndexStore:
             cp["stream_doc_offset"] = int(cp.get("stream_doc_offset", 0)) + n_docs
             _write_json_atomic(self.checkpoints_path, cp)
 
+    def acked_stream_batches(self) -> list[int]:
+        """Stream batches the index ACKNOWLEDGED (ledger status "done",
+        n_docs > 0) — the only batches whose ``stream_docs/batch=*`` dirs a
+        reader may scan.  Stream docs land on disk BEFORE their postings
+        commit and before the ledger done-mark (_ingest_one_batch_locked
+        writes stream_docs, then postings, then mark_stream_batch), so a
+        flat directory scan during a live or crashed micro-batch would
+        surface docs the index never served.  Every flat consumer of the
+        stream_docs layout (IndexReader.doc_source, finalize_stream's full
+        recompute) MUST filter through this one helper so the crash-window
+        rule cannot drift between call sites."""
+        cp = self.checkpoints()
+        return sorted(
+            int(b)
+            for b, v in cp.get("stream_batches", {}).items()
+            if v.get("status") == "done" and v.get("n_docs", 0) > 0
+        )
+
     def unfolded_stream_batches(self) -> list[int]:
         """Stream batches whose term stats are NOT yet folded into the
         dictionary (incremental finalize bookkeeping)."""

@@ -402,8 +402,19 @@ def _finalize_stream_locked(spark, store, incremental, idf_col) -> dict:
     if os.path.exists(store.docs_path()):
         doc_sources.append(spark.read.parquet(store.docs_path()).select("doc_id", "dl"))
     sdocs_root = os.path.join(store.root, "stream_docs")
-    if os.path.exists(sdocs_root):
-        sd = spark.read.option("basePath", sdocs_root).parquet(sdocs_root)
+    # only INDEX-ACKNOWLEDGED batches (store.acked_stream_batches): a batch
+    # that crashed after writing stream_docs/batch=N but before its ledger
+    # done-mark has docs on disk with NO postings — folding them into
+    # n_docs/avgdl/total_tokens would skew every term's idf vs the postings
+    # the index actually serves.  Same crash-window rule, same helper, as
+    # IndexReader.doc_source (operators/wand.py).
+    acked = store.acked_stream_batches()
+    if os.path.exists(sdocs_root) and acked:
+        sd = (
+            spark.read.option("basePath", sdocs_root)
+            .parquet(sdocs_root)
+            .filter(F.col("batch").isin(acked))
+        )
         from ..analyzer import tokens_col
 
         doc_sources.append(
@@ -411,12 +422,18 @@ def _finalize_stream_locked(spark, store, incremental, idf_col) -> dict:
                 "doc_id", F.coalesce(F.size(tokens_col("text")), F.lit(0)).alias("dl")
             )
         )
-    all_docs = doc_sources[0]
-    for d in doc_sources[1:]:
-        all_docs = all_docs.unionByName(d)
-    row = all_docs.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("total")
-    ).collect()[0]
+    if doc_sources:
+        all_docs = doc_sources[0]
+        for d in doc_sources[1:]:
+            all_docs = all_docs.unionByName(d)
+        row = all_docs.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl"), F.sum("dl").alias("total")
+        ).collect()[0]
+    else:
+        # no batch docs and no ACKED stream batches (e.g. finalize racing a
+        # store whose only batch crashed mid-commit): zero-doc stats, not an
+        # IndexError — the crashed batch folds after its replay commits
+        row = {"n": 0, "avgdl": 0.0, "total": 0}
     stats = store.stats() if os.path.exists(store.stats_path) else {}
     stats.update(
         {

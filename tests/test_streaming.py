@@ -114,6 +114,34 @@ def test_doc_source_excludes_unacked_stream_batch(spark, streamed_store):
         shutil.rmtree(phantom, ignore_errors=True)
 
 
+def test_finalize_full_recompute_excludes_unacked_stream_batch(spark, streamed_store):
+    """The SECOND flat consumer of the stream_docs layout: finalize_stream's
+    full recompute must apply the same crash-window rule as doc_source
+    (store.acked_stream_batches — one shared helper).  A phantom batch dir
+    (docs on disk, ledger never marked done) has NO postings, so folding it
+    into n_docs/avgdl/total_tokens would skew every term's idf vs the
+    postings the index actually serves."""
+    import shutil
+
+    from search_spark.streaming.ingest import finalize_stream
+
+    store, pdf = streamed_store
+    sdocs = os.path.join(store.root, "stream_docs")
+    acked_dirs = sorted(d for d in os.listdir(sdocs) if d.startswith("batch="))
+    phantom = os.path.join(sdocs, "batch=998")
+    shutil.copytree(os.path.join(sdocs, acked_dirs[0]), phantom)
+    try:
+        before = store.stats()
+        out = finalize_stream(spark, store, incremental=False)
+        after = store.stats()
+        assert out["n_docs"] == len(pdf)  # phantom docs NOT counted
+        assert after["n_docs"] == before["n_docs"]
+        assert after["total_tokens"] == before["total_tokens"]
+        assert abs(after["avgdl"] - before["avgdl"]) < 1e-9
+    finally:
+        shutil.rmtree(phantom, ignore_errors=True)
+
+
 def test_stream_replay_is_idempotent(spark, streamed_store):
     """Re-delivering a committed batch_id (crash replay) changes nothing."""
     store, pdf = streamed_store
